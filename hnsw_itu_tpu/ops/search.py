@@ -1,0 +1,193 @@
+"""Greedy beam search over a padded-adjacency graph (SEARCH-LAYER, Alg. 2).
+
+Parity target: ``nsw::search`` (/root/reference/src/index/nsw.rs:133-184).
+The reference walks the graph with two MinMaxHeaps (candidates + bounded
+result beam ``w``) and a HashSet visited set. TPU-native redesign:
+
+* one fixed-capacity beam, kept sorted ascending by (distance, id) — it is
+  simultaneously the candidate heap (unexpanded entries) and the result set
+  ``w`` (all entries), so the reference's "candidate enters cands iff it
+  enters w" pruning rule (nsw.rs:167-176) is the merge-and-truncate itself;
+* an "expanded" flag per beam slot replaces pop_min: each step expands the
+  ``expand`` best unexpanded entries at once (E-way frontier expansion keeps
+  the VPU busy; E=1 reproduces the reference's exact expansion order);
+* the visited HashSet (nsw.rs:143) becomes a packed bitmask (ops/bitset.py);
+* termination — "nearest candidate farther than worst result"
+  (nsw.rs:152-154) — becomes: no unexpanded entry with d <= beam-worst.
+
+One difference vs the reference: entries evicted from ``w`` stay in the
+reference's unbounded candidate heap and may still be expanded; here eviction
+discards them. At equal ef this measures slightly lower recall; callers can
+raise ef (the beam is the only memory the search needs, so ef is cheap).
+
+The whole loop is a ``lax.while_loop`` with static shapes, vmap-able over a
+query batch — queries in one batch run in lockstep until all terminate
+(the TPU analogue of rayon's par_iter over queries, src/index/mod.rs:36-41).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bitset
+from .metrics import Metric
+
+ID_INF = jnp.iinfo(jnp.int32).max
+
+
+class SearchResult(NamedTuple):
+    """Fixed-shape search output: ascending (distance, id), padded with
+    (dtype-max, ID_INF). ``visited``/``steps`` mirror the reference's
+    per-query instrumentation (nsw.rs:180-181)."""
+
+    dists: jax.Array
+    ids: jax.Array
+    visited: jax.Array
+    steps: jax.Array
+
+
+def beam_search(
+    get_points: Callable[[jax.Array], jax.Array],
+    adj: jax.Array,
+    q: jax.Array,
+    ep: jax.Array,
+    *,
+    ef: int,
+    metric: Metric,
+    capacity: int,
+    expand: int = 1,
+    max_steps: int = 2048,
+) -> SearchResult:
+    """Search one query on one graph layer.
+
+    Args:
+      get_points: ids int32[C] (clamped in-range) -> point rows [C, ...].
+      adj: int32[capacity, W] padded adjacency; entries < 0 are "no edge"
+           (the array analogue of Vec<HashSet<Idx>>, simplegraph.rs:10-14).
+      q: one query point.
+      ep: entry-point id (scalar int32).
+      ef: beam width (result size).
+      expand: how many unexpanded beam entries to expand per step.
+      max_steps: safety bound on the while_loop trip count.
+
+    Returns SearchResult with arrays of length ef.
+    """
+    inf = metric.inf
+    W = adj.shape[1]
+    E = expand
+    C = E * W  # candidates per step
+
+    ep = jnp.asarray(ep, jnp.int32)
+    d_ep = metric.one_to_many(q, get_points(ep[None]))[0]
+
+    beam_d = jnp.full((ef,), inf, metric.dist_dtype).at[0].set(d_ep)
+    beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0].set(ep)
+    beam_x = jnp.zeros((ef,), bool)
+    visited = bitset.insert(
+        bitset.make(capacity), ep[None], jnp.ones((1,), bool)
+    )
+
+    def worst(bd):
+        return bd[ef - 1]
+
+    def cond(state):
+        bd, bi, bx, vis, step = state
+        frontier = (~bx) & (bd <= worst(bd)) & (bd < inf)
+        return (step < max_steps) & jnp.any(frontier)
+
+    def body(state):
+        bd, bi, bx, vis, step = state
+
+        # -- select the E best unexpanded entries (beam is sorted, so the
+        #    first E unexpanded are the (d, id)-smallest: pop_min parity).
+        unexp_rank = jnp.cumsum((~bx).astype(jnp.int32)) - 1
+        sel_mask = (~bx) & (unexp_rank < E) & (bd < inf)
+        pos_score = jnp.where(sel_mask, jnp.arange(ef), ef + 1)
+        neg_top, _ = jax.lax.top_k(-pos_score, E)
+        sel_pos = -neg_top  # E smallest positions, padded with ef+1
+        sel_ok = sel_pos < ef
+        sel_pos_c = jnp.clip(sel_pos, 0, ef - 1)
+        bx = bx.at[sel_pos].set(True, mode="drop")
+        sel_ids = jnp.where(sel_ok, bi[sel_pos_c], ID_INF)
+
+        # -- gather neighbor lists  [E, W] -> [C]
+        nbr = adj[jnp.clip(sel_ids, 0, capacity - 1)]
+        nbr = jnp.where((nbr >= 0) & sel_ok[:, None], nbr, ID_INF)
+        nid = nbr.reshape(C)
+
+        # -- dedup within the step (sort; equal-to-previous are dupes)
+        nid = jax.lax.sort(nid)
+        is_dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), nid[1:] == nid[:-1]]
+        )
+        in_range = nid < capacity
+        fresh = in_range & (~is_dup) & (~bitset.contains(vis, nid))
+        vis = bitset.insert(vis, nid, fresh)
+
+        # -- distances for fresh candidates
+        pts = get_points(jnp.clip(nid, 0, capacity - 1))
+        cd = metric.one_to_many(q, pts)
+        cd = jnp.where(fresh, cd, inf)
+        ci = jnp.where(fresh, nid, ID_INF)
+
+        # -- merge into beam: two-key sort by (d, id), truncate to ef.
+        #    This applies the reference's insert rule exactly: a candidate
+        #    survives iff it beats the current worst once the beam is full
+        #    (nsw.rs:167-176), with (distance, key) tie-break (mod.rs:90-96).
+        md = jnp.concatenate([bd, cd])
+        mi = jnp.concatenate([bi, ci])
+        mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
+        md, mi, mx = jax.lax.sort((md, mi, mx), num_keys=2)
+        return md[:ef], mi[:ef], mx[:ef], vis, step + 1
+
+    beam_d, beam_i, beam_x, visited, steps = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(0))
+    )
+    return SearchResult(beam_d, beam_i, bitset.count(visited), steps)
+
+
+def greedy_search(get_points, adj, q, ep, *, metric, capacity, max_steps=512):
+    """ef=1 greedy descent — the upper-layer walk of HNSW::search
+    (src/index/hnsw.rs:285-293). Returns (dist, id) of the local minimum."""
+    r = beam_search(
+        get_points,
+        adj,
+        q,
+        ep,
+        ef=1,
+        metric=metric,
+        capacity=capacity,
+        expand=1,
+        max_steps=max_steps,
+    )
+    return r.dists[0], r.ids[0]
+
+
+def batched_beam_search(
+    get_points,
+    adj,
+    queries,
+    eps,
+    *,
+    ef: int,
+    metric: Metric,
+    capacity: int,
+    expand: int = 1,
+    max_steps: int = 2048,
+) -> SearchResult:
+    """vmap of beam_search over a query batch (and per-query entry points)."""
+    fn = partial(
+        beam_search,
+        get_points,
+        adj,
+        ef=ef,
+        metric=metric,
+        capacity=capacity,
+        expand=expand,
+        max_steps=max_steps,
+    )
+    return jax.vmap(fn)(queries, eps)
