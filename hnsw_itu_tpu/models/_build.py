@@ -1,0 +1,187 @@
+"""Bulk-synchronous batched graph construction — shared by NSW and HNSW.
+
+Parity target: the parallel-search / sequential-mutate chunk loop of
+``extend_parallel`` (/root/reference/src/index/nsw.rs:224-277,
+/root/reference/src/index/hnsw.rs:43-170). Per chunk the reference runs a
+read-only parallel phase (search + select-neighbors per point over the
+pre-chunk graph) and then a sequential mutation phase (edge writes +
+degree-cap prunes). The TPU analogue:
+
+  phase 1 (search_select): one vmapped beam search + vectorized
+    select-neighbors over a sub-batch of chunk points — the rayon par_iter
+    becomes a leading batch axis;
+  phase 2 (apply_inserts): vectorized forward-row writes, grouped
+    reverse-edge append, and a budgeted batch of degree-cap prunes — the
+    sequential insert_neighbors loop (nsw.rs:94-131) becomes three scatters.
+
+Deviations (bulk-synchronous relaxations, documented):
+  * prunes see a whole chunk's incoming edges at once instead of one insert
+    at a time; reverse edges beyond the row width that the prune budget
+    doesn't cover are dropped (the reference's own parallel build already
+    relaxes insert ordering chunk-wide);
+  * the unconditional post-prune re-add of the new edge (nsw.rs:129) is
+    subsumed: incoming ids participate in the prune's candidate set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphArrays, append_reverse_edges, prune_rows, set_rows
+from ..ops.metrics import get_metric
+from ..ops.search import batched_beam_search
+from ..ops.select import select_neighbors
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("efc", "m", "metric_name", "expand", "max_steps"),
+    donate_argnums=(),
+)
+def search_select(
+    points,
+    node_map,
+    adj,
+    qs,
+    q_valid,
+    eps,
+    *,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+):
+    """Phase 1: for a sub-batch of new points, beam-search the current graph
+    (ef=ef_construction) and diversity-select up to m neighbors each —
+    ``search_select_neighbors`` (nsw.rs:44-58), batched.
+
+    Args:
+      points: [cap_pts, ...] point buffer (new points already written).
+      node_map: int32[cap_graph] graph-local id -> point row (identity for
+        flat graphs; upper HNSW layers map local ids to base points).
+      adj: int32[cap_graph, W] adjacency to search.
+      qs: [S, ...] new points' data.
+      q_valid: bool[S] padding mask.
+      eps: int32[S] per-point entry node (graph-local).
+
+    Returns sel_ids int32[S, m] (graph-local, -1 padded) and their dists.
+    """
+    metric = get_metric(metric_name)
+    cap_graph = adj.shape[0]
+
+    def get_points(ids):
+        return points[node_map[ids]]
+
+    res = batched_beam_search(
+        get_points,
+        adj,
+        qs,
+        eps,
+        ef=efc,
+        metric=metric,
+        capacity=cap_graph,
+        expand=expand,
+        max_steps=max_steps,
+    )
+
+    def sel_one(q, bd, bi, ok):
+        valid = (bi != np.iinfo(np.int32).max) & (bd < metric.inf) & ok
+        cpts = get_points(jnp.clip(bi, 0, cap_graph - 1))
+        pair = metric.pairwise_mxu(cpts, cpts)
+        sel_ids, sel_d, _ = select_neighbors(bd, bi, pair, valid, m)
+        return sel_ids, sel_d
+
+    sel_ids, sel_d = jax.vmap(sel_one)(qs, res.dists, res.ids, q_valid)
+    sel_ids = jnp.where(q_valid[:, None], sel_ids, -1)
+    return sel_ids, sel_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "prune_budget"),
+    donate_argnums=(2,),
+)
+def apply_inserts(
+    points,
+    node_map,
+    graph: GraphArrays,
+    new_ids,
+    sel_rows,
+    *,
+    metric_name: str,
+    prune_budget: int = 256,
+):
+    """Phase 2: vectorized ``insert_neighbors`` (nsw.rs:94-131) for a chunk.
+
+    Args:
+      new_ids: int32[c] graph-local ids of the freshly inserted points
+        (-1 padding skipped).
+      sel_rows: int32[c, m] selected neighbors per new point (-1 padded).
+    """
+    metric = get_metric(metric_name)
+    cap, W = graph.adj.shape
+
+    # forward edges: the new point's whole row (its row was empty)
+    pad = W - sel_rows.shape[1]
+    rows = sel_rows
+    if pad > 0:
+        rows = jnp.concatenate(
+            [rows, jnp.full((rows.shape[0], pad), -1, jnp.int32)], axis=-1
+        )
+    deg_before = graph.deg
+    graph = set_rows(graph, new_ids, rows)
+
+    # reverse edges, grouped append
+    c, m = sel_rows.shape
+    targets = sel_rows.reshape(-1)
+    sources = jnp.broadcast_to(new_ids[:, None], (c, m)).reshape(-1)
+    targets = jnp.where((sources >= 0) & (targets >= 0), targets, -1)
+    res = append_reverse_edges(graph, targets, sources)
+    graph = res.graph
+
+    # budgeted degree-cap prune of overfull receivers (nsw.rs:105-130)
+    demand = deg_before + res.incoming[:cap]
+    over = jnp.where(demand > W, demand, 0)
+    prune_budget = min(prune_budget, cap)
+    _, prune_ids = jax.lax.top_k(over, prune_budget)
+    prune_ids = jnp.where(over[prune_ids] > 0, prune_ids, -1).astype(jnp.int32)
+
+    safe = jnp.clip(prune_ids, 0, cap - 1)
+    node_pts = points[node_map[safe]]
+    nbr_rows = graph.adj[safe]
+    nbr_pts = points[node_map[jnp.clip(nbr_rows, 0, cap - 1)]]
+    graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
+    return graph
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def write_points(points, chunk, n):
+    """Append a chunk of points into the preallocated buffer at row n."""
+    idx = (n + jnp.arange(chunk.shape[0], dtype=jnp.int32))[:, None]
+    col = jnp.arange(points.shape[1], dtype=jnp.int32)[None, :]
+    return points.at[idx, col].set(chunk, mode="drop")
+
+
+def chunk_schedule(start_n: int, total: int, *, min_chunk=8, max_chunk=4096, growth_div=8):
+    """Progressive chunk sizes (powers of two): the TPU replacement for the
+    reference's 50k sequential warmup + fixed threads*32 chunks
+    (nsw.rs:234-237). Early chunks are small so the young graph keeps
+    quality; sizes double as the graph grows.
+    """
+    n = start_n
+    out = []
+    remaining = total
+    while remaining > 0:
+        c = max(min_chunk, min(max_chunk, n // growth_div))
+        c = 1 << (c - 1).bit_length()  # round up to pow2
+        c = min(c, max_chunk)
+        take = min(c, remaining)
+        out.append(take)
+        n += take
+        remaining -= take
+    return out

@@ -1,0 +1,66 @@
+"""Index API surface.
+
+Parity targets: the ``IndexBuilder<P>`` / ``Index<P>`` / ``Point`` traits
+(/root/reference/src/index/mod.rs:14-47) and the ``Distance`` result triple
+(mod.rs:49-97). TPU redesign: results are fixed-shape (distance, id) array
+pairs sorted ascending by (distance, id) — the reference's ``Ord`` — padded
+with sentinels; ``knns`` is a jitted, vmapped batch instead of a rayon
+par_iter (mod.rs:27-43).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Protocol, runtime_checkable
+
+import jax
+import numpy as np
+
+ID_INF = np.iinfo(np.int32).max
+
+
+class KnnResult(NamedTuple):
+    """Batched k-NN result: [..., k] arrays, ascending (distance, id),
+    invalid slots = (dtype-max, ID_INF)."""
+
+    dists: jax.Array
+    ids: jax.Array
+
+
+@dataclass
+class IndexOptions:
+    """NSWOptions parity (src/index/nsw.rs:186-202): library defaults
+    efc=100, m=16, M=32; ``size`` preallocates capacity (the TPU build
+    requires it for static shapes — pass the dataset length)."""
+
+    ef_construction: int = 100
+    connections: int = 16
+    max_connections: int = 32
+    size: int = 0
+    # TPU-specific knobs (no reference counterpart):
+    expand: int = 1  # E-way frontier expansion during construction searches
+    batch_size: int = 256  # search/select sub-batch inside build chunks
+    prune_budget: int = 256  # max degree-cap prunes applied per chunk
+    seed: int = 0  # extra entropy mixed into the level RNG
+
+
+def rng_seed(opts: IndexOptions) -> int:
+    """Deterministic level-RNG seed derived from the build parameters —
+    the analogue of the reference's
+    ``threads ^ size ^ efc ^ m ^ M`` StdRng seed (src/index/hnsw.rs:24-30)."""
+    return (
+        opts.size
+        ^ opts.ef_construction
+        ^ opts.connections
+        ^ opts.max_connections
+        ^ opts.seed
+    ) & 0xFFFFFFFF
+
+
+@runtime_checkable
+class Index(Protocol):
+    def size(self) -> int: ...
+
+    def search(self, query, k: int, ef: int) -> KnnResult: ...
+
+    def knns(self, queries, k: int, ef: int) -> KnnResult: ...

@@ -1,0 +1,225 @@
+"""NSW — single-layer navigable small world index.
+
+Parity target: ``NSWBuilder`` / ``NSW`` (/root/reference/src/index/nsw.rs:
+186-352). The first inserted point becomes the entry point (nsw.rs:300-313);
+queries run one beam search from it and take the k best (nsw.rs:341-351).
+Construction is the bulk-synchronous chunk loop of ``extend_parallel``
+(nsw.rs:224-277) re-expressed as batched device steps (models/_build.py),
+with a progressive chunk schedule replacing the 50k sequential warmup.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphArrays, make_graph
+from ..ops.metrics import Metric, get_metric
+from ..ops.search import batched_beam_search
+from . import _build
+from .base import ID_INF, IndexOptions, KnnResult
+
+
+def _pad_rows(x: np.ndarray, to: int):
+    if x.shape[0] == to:
+        return x
+    pad = np.zeros((to - x.shape[0], *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "metric_name", "expand", "max_steps")
+)
+def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps):
+    metric = get_metric(metric_name)
+    cap = adj.shape[0]
+    eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    res = batched_beam_search(
+        lambda ids: points[ids],
+        adj,
+        qs,
+        eps,
+        ef=max(ef, k),
+        metric=metric,
+        capacity=cap,
+        expand=expand,
+        max_steps=max_steps,
+    )
+    return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
+
+
+class NSW:
+    """Immutable search-side index."""
+
+    def __init__(self, points, n, graph: GraphArrays, ep, metric, opts=None):
+        self.points = points
+        self.n = int(n)
+        self.graph = graph
+        self.ep = int(ep) if ep is not None else None
+        self.metric = get_metric(metric) if isinstance(metric, str) else metric
+        self.opts = opts or IndexOptions()
+        self.query_expand = 1
+        self.query_batch = 1024
+        self.max_steps = 2048
+        self.last_stats = None
+
+    def size(self) -> int:
+        return self.n
+
+    def search(self, query, k: int, ef: int) -> KnnResult:
+        r = self.knns(np.asarray(query)[None], k, ef)
+        return KnnResult(r.dists[0], r.ids[0])
+
+    def knns(self, queries, k: int, ef: int) -> KnnResult:
+        """Batched queries — the rayon par_iter analogue
+        (src/index/mod.rs:27-43): queries become a leading array axis."""
+        if self.ep is None:
+            raise ValueError("empty index")
+        qs = np.asarray(queries)
+        nq = qs.shape[0]
+        B = self.query_batch
+        out_d, out_i = [], []
+        visited = steps = 0
+        for s in range(0, nq, B):
+            q = qs[s : s + B]
+            b = q.shape[0]
+            bp = b if b == B else 1 << (b - 1).bit_length()
+            qb = _pad_rows(q, bp)
+            d, i, vis, st = _query_step(
+                self.points,
+                self.graph.adj,
+                jnp.asarray(qb),
+                jnp.int32(self.ep),
+                k=k,
+                ef=ef,
+                metric_name=self.metric.name,
+                expand=self.query_expand,
+                max_steps=self.max_steps,
+            )
+            out_d.append(np.asarray(d)[:b])
+            out_i.append(np.asarray(i)[:b])
+            visited += int(np.asarray(vis)[:b].sum())
+            steps += int(np.asarray(st)[:b].sum())
+        self.last_stats = {"visited": visited, "steps": steps, "queries": nq}
+        return KnnResult(
+            jnp.asarray(np.concatenate(out_d)), jnp.asarray(np.concatenate(out_i))
+        )
+
+
+class NSWBuilder:
+    """Batched construction (extend_parallel parity, nsw.rs:224-277)."""
+
+    def __init__(self, options: IndexOptions | None = None, metric="hamming"):
+        self.opts = options or IndexOptions()
+        if self.opts.size <= 0:
+            raise ValueError("IndexOptions.size must be set (preallocation)")
+        self.metric = get_metric(metric) if isinstance(metric, str) else metric
+        self.n = 0
+        self.ep = None
+        self.points = None  # allocated on first extend
+        self.graph = make_graph(self.opts.size, self.opts.max_connections)
+        self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
+
+    # -- allocation ---------------------------------------------------------
+    def _ensure_points(self, sample: np.ndarray):
+        if self.points is None:
+            self.points = jnp.zeros(
+                (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
+            )
+
+    # -- IndexBuilder parity ---------------------------------------------------
+    def add(self, point) -> None:
+        self.extend(np.asarray(point)[None], sequential=True)
+
+    def extend(self, points, sequential: bool = True) -> None:
+        """Sequential insert loop (Extend parity, nsw.rs:279-285): chunks of
+        one point; exact reference insert ordering."""
+        pts = np.asarray(points)
+        self._ensure_points(pts)
+        if sequential:
+            for row in pts:
+                self._insert_chunk(row[None])
+        else:
+            self.extend_batched(pts)
+
+    def extend_batched(self, points) -> None:
+        """extend_parallel parity: progressive chunk sizes, batched
+        search-then-mutate per chunk."""
+        pts = np.asarray(points)
+        self._ensure_points(pts)
+        off = 0
+        if self.ep is None and pts.shape[0] > 0:
+            self._insert_chunk(pts[:1])
+            off = 1
+        for c in _build.chunk_schedule(
+            self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
+        ):
+            self._insert_chunk(pts[off : off + c])
+            off += c
+
+    def build(self) -> NSW:
+        return NSW(self.points, self.n, self.graph, self.ep, self.metric, self.opts)
+
+    # -- internals ------------------------------------------------------------
+    def _insert_chunk(self, chunk: np.ndarray):
+        c = chunk.shape[0]
+        if self.n + c > self.opts.size:
+            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+        first = self.ep is None
+        n0 = self.n
+        self.points = _build.write_points(
+            self.points, jnp.asarray(chunk), jnp.int32(n0)
+        )
+        self.n += c
+        if first:
+            # first point becomes the entry point (nsw.rs:300-313)
+            self.ep = n0
+            chunk = chunk[1:]
+            n0 += 1
+            c -= 1
+            if c == 0:
+                return
+
+        S = self.opts.batch_size
+        sel_parts = []
+        for s in range(0, c, S):
+            q = chunk[s : s + S]
+            b = q.shape[0]
+            bp = b if b == S else 1 << (b - 1).bit_length()
+            qb = _pad_rows(q, bp)
+            valid = np.zeros((bp,), bool)
+            valid[:b] = True
+            sel_ids, _ = _build.search_select(
+                self.points,
+                self._node_map,
+                self.graph.adj,
+                jnp.asarray(qb),
+                jnp.asarray(valid),
+                jnp.full((bp,), self.ep, jnp.int32),
+                efc=self.opts.ef_construction,
+                m=self.opts.connections,
+                metric_name=self.metric.name,
+                expand=self.opts.expand,
+            )
+            sel_parts.append(np.asarray(sel_ids)[:b])
+        sel_rows = np.concatenate(sel_parts, axis=0)
+
+        new_ids = n0 + np.arange(c, dtype=np.int32)
+        cp = 1 << (c - 1).bit_length()  # pad to pow2: few compiled shapes
+        if cp != c:
+            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
+            sel_rows = _pad_rows(sel_rows, cp)
+            sel_rows[c:] = -1
+        self.graph = _build.apply_inserts(
+            self.points,
+            self._node_map,
+            self.graph,
+            jnp.asarray(new_ids),
+            jnp.asarray(sel_rows),
+            metric_name=self.metric.name,
+            prune_budget=self.opts.prune_budget,
+        )
