@@ -1,0 +1,475 @@
+"""HNSW — hierarchical navigable small world index.
+
+Parity target: ``HNSWBuilder`` / ``HNSW`` (/root/reference/src/index/hnsw.rs).
+TPU redesign of the hierarchy: instead of per-layer ``SimpleGraph<(P, Idx)>``
+that clones the point into every occupied layer (hnsw.rs:199-205), each
+level holds three arrays —
+
+    node_ids: int32[cap_l]  local slot -> base point row   (no duplication)
+    down:     int32[cap_l]  local slot -> slot in the level below
+                            (level 0's "below" is the base graph)
+    graph:    GraphArrays   adjacency over local slots
+
+``down`` is the (P, Idx) down-pointer chain done properly; the reference's
+builder actually reuses a layer-l index as the entry point of layer l-1
+(hnsw.rs:222-232 — in-range but wrong-space), which works only because any
+entry point converges. We chain entry points through ``down`` correctly.
+
+Construction follows extend_parallel (hnsw.rs:43-170): one random level per
+chunk (the reference's per-chunk draw, hnsw.rs:65 — chunks of size 1, i.e.
+the sequential path, draw per point like hnsw.rs:183-191), descend from the
+global entry point with ef=1 greedy searches, then per layer top->down run
+the batched search-select phase followed by the vectorized mutation phase.
+Search follows HNSW::search (hnsw.rs:278-300): ef=1 greedy descent through
+the levels, then a full-ef beam search on the base layer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphArrays, make_graph
+from ..ops.metrics import get_metric
+from ..ops.search import batched_beam_search
+from . import _build
+from .base import ID_INF, IndexOptions, KnnResult, rng_seed
+
+
+class Level(NamedTuple):
+    node_ids: jax.Array  # int32[cap_l]
+    down: jax.Array  # int32[cap_l]
+    graph: GraphArrays
+
+
+def _make_level(cap: int, width: int) -> Level:
+    return Level(
+        node_ids=jnp.zeros((cap,), jnp.int32),
+        down=jnp.zeros((cap,), jnp.int32),
+        graph=make_graph(cap, width),
+    )
+
+
+def _pad_rows(x: np.ndarray, to: int):
+    if x.shape[0] == to:
+        return x
+    pad = np.zeros((to - x.shape[0], *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "n_levels"),
+)
+def _hnsw_query_step(
+    points,
+    levels,
+    base_adj,
+    qs,
+    ep,
+    *,
+    k,
+    ef,
+    metric_name,
+    expand,
+    max_steps,
+    n_levels,
+):
+    """Full HNSW search for one query batch: greedy descent + base beam."""
+    metric = get_metric(metric_name)
+    B = qs.shape[0]
+    eps = jnp.full((B,), ep, jnp.int32)
+    # descent (hnsw.rs:285-293): ef=1 beam on each level, follow down-pointer
+    for l in range(n_levels - 1, -1, -1):
+        node_ids, down, graph = levels[l]
+        adj = graph.adj
+        cap_l = adj.shape[0]
+        res = batched_beam_search(
+            lambda ids, ni=node_ids: points[ni[ids]],
+            adj,
+            qs,
+            eps,
+            ef=1,
+            metric=metric,
+            capacity=cap_l,
+            expand=1,
+            max_steps=max_steps,
+        )
+        local_min = jnp.clip(res.ids[:, 0], 0, cap_l - 1)
+        eps = down[local_min]
+    # base beam search (hnsw.rs:296-299)
+    res = batched_beam_search(
+        lambda ids: points[ids],
+        base_adj,
+        qs,
+        eps,
+        ef=max(ef, k),
+        metric=metric,
+        capacity=base_adj.shape[0],
+        expand=expand,
+        max_steps=max_steps,
+    )
+    return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
+
+
+class HNSW:
+    """Immutable search-side index."""
+
+    def __init__(self, points, n, base: GraphArrays, levels, level_ns, ep,
+                 metric, opts=None):
+        self.points = points
+        self.n = int(n)
+        self.base = base
+        self.levels = list(levels)  # list[Level], bottom -> top
+        self.level_ns = list(level_ns)
+        self.ep = int(ep) if ep is not None else None
+        self.metric = get_metric(metric) if isinstance(metric, str) else metric
+        self.opts = opts or IndexOptions()
+        self.query_expand = 1
+        self.query_batch = 1024
+        self.max_steps = 2048
+        self.last_stats = None
+
+    def size(self) -> int:
+        return self.n
+
+    def search(self, query, k: int, ef: int) -> KnnResult:
+        r = self.knns(np.asarray(query)[None], k, ef)
+        return KnnResult(r.dists[0], r.ids[0])
+
+    def knns(self, queries, k: int, ef: int) -> KnnResult:
+        if self.ep is None:
+            raise ValueError("empty index")
+        qs = np.asarray(queries)
+        nq = qs.shape[0]
+        B = self.query_batch
+        out_d, out_i = [], []
+        visited = steps = 0
+        levels = tuple(self.levels)
+        for s in range(0, nq, B):
+            q = qs[s : s + B]
+            b = q.shape[0]
+            bp = b if b == B else 1 << (b - 1).bit_length()
+            d, i, vis, st = _hnsw_query_step(
+                self.points,
+                levels,
+                self.base.adj,
+                jnp.asarray(_pad_rows(q, bp)),
+                jnp.int32(self.ep),
+                k=k,
+                ef=ef,
+                metric_name=self.metric.name,
+                expand=self.query_expand,
+                max_steps=self.max_steps,
+                n_levels=len(levels),
+            )
+            out_d.append(np.asarray(d)[:b])
+            out_i.append(np.asarray(i)[:b])
+            visited += int(np.asarray(vis)[:b].sum())
+            steps += int(np.asarray(st)[:b].sum())
+        self.last_stats = {"visited": visited, "steps": steps, "queries": nq}
+        return KnnResult(
+            jnp.asarray(np.concatenate(out_d)), jnp.asarray(np.concatenate(out_i))
+        )
+
+
+class HNSWBuilder:
+    def __init__(self, options: IndexOptions | None = None, metric="hamming"):
+        self.opts = options or IndexOptions()
+        if self.opts.size <= 0:
+            raise ValueError("IndexOptions.size must be set (preallocation)")
+        self.metric = get_metric(metric) if isinstance(metric, str) else metric
+        self.n = 0
+        self.ep = None  # local slot in the top level (base id if no levels)
+        self.points = None
+        self.base = make_graph(self.opts.size, self.opts.max_connections)
+        self.levels: list[Level] = []
+        self.level_ns: list[int] = []
+        self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
+        # deterministic level RNG (hnsw.rs:24-30)
+        self._rng = np.random.RandomState(rng_seed(self.opts))
+        self._ml = 1.0 / math.log(max(2, self.opts.connections))
+
+    # -- level machinery ------------------------------------------------------
+    def _random_level(self) -> int:
+        # floor(-ln(U) * 1/ln(m)) — hnsw.rs:37-40
+        u = max(self._rng.random_sample(), 1e-12)
+        return int(-math.log(u) * self._ml)
+
+    def _level_capacity(self, l: int) -> int:
+        m = max(2, self.opts.connections)
+        expect = self.opts.size * (m ** -(l + 1))
+        cap = max(64, int(8 * expect))
+        return 1 << (cap - 1).bit_length()
+
+    def _grow_level(self, l: int, need: int):
+        lv = self.levels[l]
+        cap = lv.graph.adj.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(need, 2 * cap)
+        new_cap = 1 << (new_cap - 1).bit_length()
+        pad = new_cap - cap
+        self.levels[l] = Level(
+            node_ids=jnp.concatenate([lv.node_ids, jnp.zeros((pad,), jnp.int32)]),
+            down=jnp.concatenate([lv.down, jnp.zeros((pad,), jnp.int32)]),
+            graph=GraphArrays(
+                adj=jnp.concatenate(
+                    [lv.graph.adj, jnp.full((pad, lv.graph.width), -1, jnp.int32)]
+                ),
+                deg=jnp.concatenate([lv.graph.deg, jnp.zeros((pad,), jnp.int32)]),
+            ),
+        )
+
+    # -- builder API --------------------------------------------------------
+    def _ensure_points(self, sample: np.ndarray):
+        if self.points is None:
+            self.points = jnp.zeros(
+                (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
+            )
+
+    def add(self, point) -> None:
+        self.extend(np.asarray(point)[None])
+
+    def extend(self, points) -> None:
+        """Sequential inserts: chunks of one, per-point level draw —
+        IndexBuilder::add parity (hnsw.rs:183-244)."""
+        pts = np.asarray(points)
+        self._ensure_points(pts)
+        for row in pts:
+            self._insert_chunk(row[None])
+
+    def extend_batched(self, points) -> None:
+        """extend_parallel parity (hnsw.rs:44-169): progressive chunks, one
+        level draw per chunk (the reference's per-chunk quirk, hnsw.rs:65)."""
+        pts = np.asarray(points)
+        self._ensure_points(pts)
+        off = 0
+        if self.ep is None and pts.shape[0] > 0:
+            self._insert_chunk(pts[:1])
+            off = 1
+        for c in _build.chunk_schedule(
+            self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
+        ):
+            self._insert_chunk(pts[off : off + c])
+            off += c
+
+    def build(self) -> HNSW:
+        return HNSW(
+            self.points,
+            self.n,
+            self.base,
+            self.levels,
+            self.level_ns,
+            self.ep,
+            self.metric,
+            self.opts,
+        )
+
+    # -- the chunk insert ------------------------------------------------------
+    def _insert_chunk(self, chunk: np.ndarray):
+        c = chunk.shape[0]
+        if self.n + c > self.opts.size:
+            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+        first = self.ep is None
+        n0 = self.n
+        self.points = _build.write_points(
+            self.points, jnp.asarray(chunk), jnp.int32(n0)
+        )
+        self.n += c
+        base_ids = n0 + np.arange(c, dtype=np.int32)
+
+        if first:
+            # first point pinned at the current top level (= base, since no
+            # levels exist yet) and becomes the entry point (hnsw.rs:185-190)
+            self.ep = int(base_ids[0])
+            chunk = chunk[1:]
+            base_ids = base_ids[1:]
+            c -= 1
+            if c == 0:
+                return
+
+        level = self._random_level()
+
+        # Snapshot the pre-chunk hierarchy: this chunk's descent and inserts
+        # must start from the OLD entry point / layers. (The reference
+        # updates ep first and accidentally recovers connectivity through
+        # its wrong-index-space entry points, hnsw.rs:207-232; with correct
+        # down-pointer chaining we must use the old ep explicitly.)
+        L_old = len(self.levels)
+        ep_old = self.ep
+
+        # create missing levels; remember to re-point ep (hnsw.rs:67-71,89-92)
+        new_ep = False
+        while len(self.levels) < level:
+            l = len(self.levels)
+            self.levels.append(_make_level(self._level_capacity(l), self.opts.max_connections))
+            self.level_ns.append(0)
+            new_ep = True
+
+        # add chunk slots to levels[0..level) — node registration before any
+        # search, like hnsw.rs:73-87
+        slots = []  # local id arrays per level occupied
+        for l in range(level):
+            nl = self.level_ns[l]
+            self._grow_level(l, nl + c)
+            lv = self.levels[l]
+            loc = nl + np.arange(c, dtype=np.int32)
+            below = base_ids if l == 0 else slots[l - 1]
+            self.levels[l] = Level(
+                node_ids=lv.node_ids.at[loc].set(jnp.asarray(base_ids)),
+                down=lv.down.at[loc].set(jnp.asarray(below)),
+                graph=lv.graph,
+            )
+            self.level_ns[l] = nl + c
+            slots.append(loc)
+
+        if new_ep:
+            self.ep = int(slots[-1][0])
+
+        # -- greedy descent from the OLD entry point through old levels above
+        #    `level` (hnsw.rs:94-108) — correct down-pointer chaining
+        eps_j = jnp.full((c,), ep_old, jnp.int32)
+        for l in range(L_old - 1, level - 1, -1):
+            eps_j = self._descend_level(l, chunk, eps_j)
+
+        # -- insert top->down through occupied levels (hnsw.rs:111-139).
+        #    Brand-new layers (l >= L_old) contain only this chunk: enter at
+        #    the chunk's first slot (the star the reference's parallel build
+        #    also forms, hnsw.rs:89-108) and keep the old-layer entry chain
+        #    untouched.
+        for l in range(level - 1, -1, -1):
+            if l >= L_old:
+                entry = jnp.full((c,), int(slots[l][0]), jnp.int32)
+                self._insert_level(l, chunk, slots[l], entry)
+            else:
+                eps_j = self._insert_level(l, chunk, slots[l], eps_j)
+
+        # -- base layer (hnsw.rs:142-167)
+        self._insert_graph(
+            None, chunk, jnp.asarray(base_ids), eps_j, is_base=True
+        )
+
+    # -- helpers ---------------------------------------------------------------
+    def _descend_level(self, l: int, chunk: np.ndarray, eps_j):
+        lv = self.levels[l]
+        sel, _ = self._search_select_level(lv, chunk, eps_j, m=1, efc=1)
+        local = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
+        return lv.down[local]
+
+    def _search_select_level(self, lv: Level, chunk, eps_j, m, efc):
+        c = chunk.shape[0]
+        S = self.opts.batch_size
+        outs = []
+        for s in range(0, c, S):
+            q = chunk[s : s + S]
+            b = q.shape[0]
+            bp = b if b == S else 1 << (b - 1).bit_length()
+            valid = np.zeros((bp,), bool)
+            valid[:b] = True
+            ep_slice = eps_j[s : s + b]
+            if bp != b:
+                ep_slice = jnp.concatenate(
+                    [ep_slice, jnp.zeros((bp - b,), jnp.int32)]
+                )
+            sel_ids, sel_d = _build.search_select(
+                self.points,
+                lv.node_ids,
+                lv.graph.adj,
+                jnp.asarray(_pad_rows(q, bp)),
+                jnp.asarray(valid),
+                ep_slice,
+                efc=efc,
+                m=m,
+                metric_name=self.metric.name,
+                expand=self.opts.expand,
+            )
+            outs.append((sel_ids[:b], sel_d[:b]))
+        sel_ids = jnp.concatenate([o[0] for o in outs])
+        sel_d = jnp.concatenate([o[1] for o in outs])
+        return sel_ids, sel_d
+
+    def _insert_level(self, l: int, chunk, loc: np.ndarray, eps_j):
+        lv = self.levels[l]
+        sel, _ = self._search_select_level(
+            lv, chunk, eps_j, m=self.opts.connections, efc=self.opts.ef_construction
+        )
+        # never link a node to itself (reachable only when this chunk seeded
+        # a brand-new layer and searched from its own first slot)
+        sel = jnp.where(sel == jnp.asarray(loc.astype(np.int32))[:, None], -1, sel)
+        self._apply_level(l, loc, sel)
+        lv = self.levels[l]
+        nearest = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
+        return lv.down[nearest]
+
+    def _apply_level(self, l: int, loc: np.ndarray, sel):
+        c = loc.shape[0]
+        cp = 1 << (c - 1).bit_length()
+        new_ids = loc.astype(np.int32)
+        sel_np = np.asarray(sel)
+        if cp != c:
+            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
+            sel_np = _pad_rows(sel_np, cp)
+            sel_np[c:] = -1
+        lv = self.levels[l]
+        g = _build.apply_inserts(
+            self.points,
+            lv.node_ids,
+            lv.graph,
+            jnp.asarray(new_ids),
+            jnp.asarray(sel_np),
+            metric_name=self.metric.name,
+            prune_budget=self.opts.prune_budget,
+        )
+        self.levels[l] = Level(lv.node_ids, lv.down, g)
+
+    def _insert_graph(self, _lv, chunk, new_ids_j, eps_j, is_base: bool):
+        assert is_base
+        c = chunk.shape[0]
+        S = self.opts.batch_size
+        sel_parts = []
+        for s in range(0, c, S):
+            q = chunk[s : s + S]
+            b = q.shape[0]
+            bp = b if b == S else 1 << (b - 1).bit_length()
+            valid = np.zeros((bp,), bool)
+            valid[:b] = True
+            ep_slice = eps_j[s : s + b]
+            if bp != b:
+                ep_slice = jnp.concatenate(
+                    [ep_slice, jnp.zeros((bp - b,), jnp.int32)]
+                )
+            sel_ids, _ = _build.search_select(
+                self.points,
+                self._node_map,
+                self.base.adj,
+                jnp.asarray(_pad_rows(q, bp)),
+                jnp.asarray(valid),
+                ep_slice,
+                efc=self.opts.ef_construction,
+                m=self.opts.connections,
+                metric_name=self.metric.name,
+                expand=self.opts.expand,
+            )
+            sel_parts.append(np.asarray(sel_ids)[:b])
+        sel_rows = np.concatenate(sel_parts, axis=0)
+        new_ids = np.asarray(new_ids_j).astype(np.int32)
+        cp = 1 << (c - 1).bit_length()
+        if cp != c:
+            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
+            sel_rows = _pad_rows(sel_rows, cp)
+            sel_rows[c:] = -1
+        self.base = _build.apply_inserts(
+            self.points,
+            self._node_map,
+            self.base,
+            jnp.asarray(new_ids),
+            jnp.asarray(sel_rows),
+            metric_name=self.metric.name,
+            prune_budget=self.opts.prune_budget,
+        )
