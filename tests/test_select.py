@@ -32,10 +32,11 @@ def test_heuristic_m_cap():
     assert got == [7]
 
 
-def test_heuristic_keeps_all_when_diverse():
-    # far-apart candidates all survive up to m
+def test_heuristic_diversity_on_line():
+    # on a line, a candidate behind a kept one is always closer to it than
+    # to the query -> only the two flanking points survive
     got = _run([0, 100, 200], 50, 3)
-    assert sorted(got) == [0, 100, 200]
+    assert sorted(got) == [0, 100]
 
 
 def test_heuristic_invalid_masked():
