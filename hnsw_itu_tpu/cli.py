@@ -1,0 +1,343 @@
+"""Command-line interface — ``hnsw-itu`` binary parity.
+
+Parity target: /root/reference/cli/src/main.rs. Five subcommands with the
+same flags and defaults (main.rs:486-821): ``query``, ``index``,
+``query-index``, ``ground-truth``, ``inspect`` — plus ``evaluate`` (recall
+computation, which the reference delegates to the external SISAP23 eval
+submodule). Defaults: k=10, ef=96, efc=96, m=24, M=256, algorithm=hnsw
+(main.rs:505-527); ground-truth k=100, sort=true (main.rs:707-712).
+Result files carry 1-based u64 ids and the data/size/algo/buildtime/
+querytime/params attributes (main.rs:262-309).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .models import IndexOptions
+from .models.bruteforce import Bruteforce
+from .models.hnsw import HNSW, HNSWBuilder
+from .models.nsw import NSW, NSWBuilder
+from .ops.metrics import sketches_from_u64
+from .utils import (
+    BufferedDataset,
+    ResultAttrs,
+    SearchStats,
+    load_index,
+    recall_files,
+    save_index,
+)
+from .utils import logging as ulog
+
+log = ulog.get("cli")
+
+ALGOS = ("bruteforce", "nsw", "hnsw")
+ID_INF = np.iinfo(np.int32).max
+
+
+def format_size_string(size: int) -> str:
+    # main.rs:250-259
+    if 90_000 <= size <= 110_000:
+        return "100K"
+    if 270_000 <= size <= 330_000:
+        return "300K"
+    if 9_000_000 <= size <= 11_000_000:
+        return "10M"
+    if 27_000_000 <= size <= 33_000_000:
+        return "30M"
+    if 90_000_000 <= size <= 110_000_000:
+        return "100M"
+    return str(size)
+
+
+def _load_sketches(path, dataset="hamming", start=0, length=None):
+    """Stream the HDF5 u64 sketches and pack to uint32 words."""
+    with BufferedDataset.open(path, dataset) as ds:
+        blocks = [sketches_from_u64(b) for b in ds.iter_chunks(start, length)]
+    if not blocks:
+        return np.zeros((0, 32), np.uint32)
+    return np.concatenate(blocks, axis=0)
+
+
+def build_index(datafile, algorithm: str, opts: IndexOptions,
+                single_threaded: bool, start=None, length=None):
+    """build_index parity (main.rs:111-179): open, range-slice, build with
+    progress + timing, fill ResultAttrs."""
+    log.info("Opening %s", datafile)
+    with BufferedDataset.open(datafile, "hamming") as ds:
+        total = ds.size()
+    skip = start or 0
+    take = length if length is not None else total
+    size = min(take, total - skip)
+    if take != size:
+        log.warning("Dataset range will be smaller than specified len (%d)", size)
+
+    pts = _load_sketches(datafile, start=skip, length=take)
+    opts.size = size
+    log.info("Building index size=%d algorithm=%s single_threaded=%s",
+             size, algorithm, single_threaded)
+    t0 = time.perf_counter()
+    if algorithm == "bruteforce":
+        idx = Bruteforce("hamming")
+        idx.extend(pts)
+        idx.build()
+    else:
+        builder_cls = NSWBuilder if algorithm == "nsw" else HNSWBuilder
+        b = builder_cls(opts, metric="hamming")
+        if single_threaded:
+            # exact sequential insert ordering (`--single-threaded`,
+            # main.rs:203-210) — slow on accelerators, exact parity
+            b.extend(pts)
+        else:
+            b.extend_batched(pts)
+        idx = b.build()
+    buildtime = time.perf_counter() - t0
+    log.info("Total build time: %.2fs, per element: %.2fus",
+             buildtime, buildtime / max(size, 1) * 1e6)
+
+    attrs = ResultAttrs(
+        format_size=start is None and length is None,
+        size=size,
+        algo={"bruteforce": "Bruteforce", "nsw": "Nsw", "hnsw": "Hnsw"}[algorithm],
+        buildtime=buildtime,
+        params=f"index=(efc={opts.ef_construction},m={opts.connections},"
+               f"M={opts.max_connections})",
+    )
+    return idx, attrs
+
+
+def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int):
+    """query_index parity (main.rs:181-222)."""
+    if k > ef:
+        log.error("k=%d is greater than ef=%d, this can have adverse effects", k, ef)
+    log.info("Opening %s", queryfile)
+    qs = _load_sketches(queryfile)
+    log.info("Start querying k=%d ef=%d queries=%d", k, ef, qs.shape[0])
+    t0 = time.perf_counter()
+    res = index.knns(qs, k, ef)
+    ids = np.asarray(res.ids)
+    dists = np.asarray(res.dists)
+    querytime = time.perf_counter() - t0
+    log.info("Total query time: %.3fs, per query: %.2fus",
+             querytime, querytime / max(qs.shape[0], 1) * 1e6)
+    stats = getattr(index, "last_stats", None)
+    if stats:
+        s = SearchStats(graph_size=index.size())
+        log.debug("search stats: %s", stats)
+    attrs.querytime = querytime
+    attrs.params = f"{attrs.params},query=(ef={ef})"
+    return dists, ids
+
+
+def _pad_short_results(ids, dists, k):
+    """Indexes::search parity (main.rs:467-474): pad short rows by
+    repeating the first valid element, with a warning."""
+    bad = ids >= ID_INF
+    if bad.any():
+        log.warning("search returned fewer than k elements; padding")
+        first = ids[:, :1]
+        firstd = dists[:, :1]
+        ids = np.where(bad, first, ids)
+        dists = np.where(bad, firstd, dists)
+    return ids, dists
+
+
+def write_result(path, dists, ids, k, sort, attrs: ResultAttrs):
+    """write_result parity (main.rs:262-309): knns dataset of 1-based u64
+    ids + file attrs."""
+    log.info("Writing result to %s sort=%s", path, sort)
+    ids, dists = _pad_short_results(ids, dists, k)
+    if sort:
+        order = np.lexsort((ids, dists), axis=-1)
+        ids = np.take_along_axis(ids, order, axis=-1)
+    out = BufferedDataset.create(path, (ids.shape[0], k), "knns")
+    out.write_rows(ids.astype(np.uint64) + 1, 0)
+    size = format_size_string(attrs.size) if attrs.format_size else str(attrs.size)
+    log.info("Writing result attributes data=%s size=%s algo=%s buildtime=%s "
+             "querytime=%s params=%s", attrs.data, size, attrs.algo,
+             attrs.buildtime, attrs.querytime, attrs.params)
+    out.add_attr("data", attrs.data)
+    out.add_attr("size", size)
+    out.add_attr("algo", attrs.algo)
+    out.add_attr("buildtime", attrs.buildtime)
+    out.add_attr("querytime", attrs.querytime)
+    out.add_attr("params", attrs.params)
+    out.close()
+
+
+def _opts_from_args(a) -> IndexOptions:
+    return IndexOptions(
+        ef_construction=a.ef_construction,
+        connections=a.connections,
+        max_connections=a.max_connections,
+    )
+
+
+# -- subcommand actions ------------------------------------------------------
+
+def cmd_query(a):
+    idx, attrs = build_index(a.datafile, a.algorithm, _opts_from_args(a),
+                             a.single_threaded)
+    if a.indexfile:
+        log.info("Serializing index to %s", a.indexfile)
+        save_index(a.indexfile, idx, attrs)
+    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef)
+    write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
+
+
+def cmd_index(a):
+    idx, attrs = build_index(a.datafile, a.algorithm, _opts_from_args(a),
+                             a.single_threaded, a.start, a.len)
+    log.info("Serializing index to %s (size=%d)", a.outfile, idx.size())
+    save_index(a.outfile, idx, attrs)
+
+
+def cmd_query_index(a):
+    log.info("Reading index %s", a.indexfile)
+    idx, attrs = load_index(a.indexfile)
+    log.info("Read index size=%d", idx.size())
+    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef)
+    write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
+
+
+def cmd_ground_truth(a):
+    """ground-truth parity (main.rs:716-753): brute-force scan, write knns
+    AND dists datasets (both u64, ids 1-based)."""
+    idx, attrs = build_index(a.datafile, "bruteforce", IndexOptions(),
+                             False, a.start, a.len)
+    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.k)
+    ids, dists = _pad_short_results(ids, dists, a.k)
+    if a.sort:
+        order = np.lexsort((ids, dists), axis=-1)
+        ids = np.take_along_axis(ids, order, axis=-1)
+        dists = np.take_along_axis(dists, order, axis=-1)
+    log.info("Writing result to %s sort=%s", a.outfile, a.sort)
+    import h5py
+
+    with h5py.File(a.outfile, "w") as f:
+        knns = BufferedDataset.with_file(f, (ids.shape[0], a.k), "knns")
+        dd = BufferedDataset.with_file(f, (ids.shape[0], a.k), "dists")
+        knns.write_rows(ids.astype(np.uint64) + 1, 0)
+        dd.write_rows(dists.astype(np.uint64), 0)
+
+
+def cmd_inspect(a):
+    """inspect parity (main.rs:756-821): attrs, per-layer degree stats +
+    percentiles, whole-index connectivity check."""
+    idx, attrs = load_index(a.indexfile)
+    print(attrs)
+
+    def print_layer(name, deg, n):
+        deg = np.sort(np.asarray(deg[:n]))
+        total = int(deg.sum())
+        print(f"\n{name} has {n} nodes, {total} total connections, "
+              f"and {total // max(n,1)} average connections")
+        print("connection distribution:")
+        for i in range(11):
+            j = min(n - 1, n // 10 * i)
+            print(f"p{i*10} {int(deg[j])}")
+
+    if isinstance(idx, Bruteforce):
+        return
+    if isinstance(idx, HNSW):
+        for l in range(len(idx.levels) - 1, -1, -1):
+            print_layer(f"layer{l}", idx.levels[l].graph.deg, idx.level_ns[l])
+        print_layer("base", idx.base.deg, idx.n)
+    elif isinstance(idx, NSW):
+        print_layer("base", idx.graph.deg, idx.n)
+    size = idx.size()
+    q = np.asarray(idx.points[0])
+    r = idx.search(q, size, size)
+    reached = int((np.asarray(r.ids) < ID_INF).sum())
+    print(f"\nquery on whole index returned {reached}/{size} elements")
+
+
+def cmd_evaluate(a):
+    rec = recall_files(a.result, a.truth, a.k)
+    print(f"recall@{a.k or 'k'}: {rec:.5f}")
+
+
+# -- parser ------------------------------------------------------------------
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-hnsw",
+        description="TPU-native HNSW/NSW/bruteforce K-NN index (hnsw-itu parity)",
+    )
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-q", "--quiet", action="count", default=0)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common_build(sp):
+        sp.add_argument("-c", "--ef-construction", type=int, default=96)
+        sp.add_argument("-m", "--connections", type=int, default=24)
+        sp.add_argument("-M", "--max-connections", type=int, default=256)
+        sp.add_argument("-a", "--algorithm", choices=ALGOS, default="hnsw")
+        sp.add_argument("-S", "--single-threaded", action="store_true",
+                        help="sequential inserts (exact reference ordering)")
+
+    q = sub.add_parser("query", help="build, query, write result")
+    q.add_argument("-d", "--datafile", required=True)
+    q.add_argument("-Q", "--queryfile", required=True)
+    q.add_argument("-o", "--outfile", default="result.h5")
+    q.add_argument("-i", "--indexfile", default=None)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("-e", "--ef", type=int, default=96)
+    common_build(q)
+    q.add_argument("-s", "--sort", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    ix = sub.add_parser("index", help="build and serialize an index")
+    ix.add_argument("-d", "--datafile", required=True)
+    ix.add_argument("-o", "--outfile", default="index.idx")
+    ix.add_argument("-b", "--start", type=int, default=None)
+    ix.add_argument("-l", "--len", type=int, default=None)
+    common_build(ix)
+    ix.set_defaults(fn=cmd_index)
+
+    qi = sub.add_parser("query-index", help="query a serialized index")
+    qi.add_argument("-i", "--indexfile", required=True)
+    qi.add_argument("-Q", "--queryfile", required=True)
+    qi.add_argument("-o", "--outfile", default="result.h5")
+    qi.add_argument("-k", type=int, default=10)
+    qi.add_argument("-e", "--ef", type=int, default=96)
+    qi.add_argument("-s", "--sort", action="store_true")
+    qi.add_argument("-S", "--single-threaded", action="store_true")
+    qi.set_defaults(fn=cmd_query_index)
+
+    gt = sub.add_parser("ground-truth", help="exact k-NN via brute force")
+    gt.add_argument("-d", "--datafile", required=True)
+    gt.add_argument("-Q", "--queryfile", required=True)
+    gt.add_argument("-o", "--outfile", default="groundtruth.h5")
+    gt.add_argument("-b", "--start", type=int, default=None)
+    gt.add_argument("-l", "--len", type=int, default=None)
+    gt.add_argument("-k", type=int, default=100)
+    gt.add_argument("-s", "--sort", action=argparse.BooleanOptionalAction,
+                    default=True)
+    gt.set_defaults(fn=cmd_ground_truth)
+
+    ins = sub.add_parser("inspect", help="read information from an index")
+    ins.add_argument("indexfile")
+    ins.set_defaults(fn=cmd_inspect)
+
+    ev = sub.add_parser("evaluate", help="recall@k of a result vs ground truth")
+    ev.add_argument("result")
+    ev.add_argument("truth")
+    ev.add_argument("-k", type=int, default=None)
+    ev.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    ulog.setup(args.verbose - args.quiet)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

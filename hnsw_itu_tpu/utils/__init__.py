@@ -1,0 +1,17 @@
+from . import logging
+from .dataset import BUFFER_SIZE, BufferedDataset
+from .evalrecall import recall_at_k, recall_files
+from .instrument import SearchStats
+from .serialize import ResultAttrs, load_index, save_index
+
+__all__ = [
+    "logging",
+    "BUFFER_SIZE",
+    "BufferedDataset",
+    "recall_at_k",
+    "recall_files",
+    "SearchStats",
+    "ResultAttrs",
+    "load_index",
+    "save_index",
+]
