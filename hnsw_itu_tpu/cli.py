@@ -87,13 +87,13 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
         idx.build()
     else:
         builder_cls = NSWBuilder if algorithm == "nsw" else HNSWBuilder
-        b = builder_cls(opts, metric="hamming")
         if single_threaded:
             # exact sequential insert ordering (`--single-threaded`,
-            # main.rs:203-210) — slow on accelerators, exact parity
-            b.extend(pts)
-        else:
-            b.extend_batched(pts)
+            # main.rs:203-210): route the whole build through the native
+            # host engine (exact reference semantics, one thread)
+            opts.host_warmup = size
+        b = builder_cls(opts, metric="hamming")
+        b.extend_batched(pts)
         idx = b.build()
     buildtime = time.perf_counter() - t0
     log.info("Total build time: %.2fs, per element: %.2fus",
@@ -110,17 +110,34 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
     return idx, attrs
 
 
-def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int):
+def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
+                single_threaded: bool = False):
     """query_index parity (main.rs:181-222)."""
     if k > ef:
         log.error("k=%d is greater than ef=%d, this can have adverse effects", k, ef)
     log.info("Opening %s", queryfile)
     qs = _load_sketches(queryfile)
-    log.info("Start querying k=%d ef=%d queries=%d", k, ef, qs.shape[0])
+    log.info("Start querying k=%d ef=%d queries=%d single_threaded=%s",
+             k, ef, qs.shape[0], single_threaded)
     t0 = time.perf_counter()
-    res = index.knns(qs, k, ef)
-    ids = np.asarray(res.ids)
-    dists = np.asarray(res.dists)
+    if single_threaded and not isinstance(index, Bruteforce):
+        # host engine, one thread: serial map over queries (main.rs:203-210)
+        from . import native
+
+        if isinstance(index, HNSW):
+            graph, ep = index.base, index.base_ep()
+        else:
+            graph, ep = index.graph, index.ep
+        dists, ids = native.host_knns(
+            np.asarray(index.points), index.metric.name,
+            np.ascontiguousarray(np.asarray(graph.adj)),
+            np.ascontiguousarray(np.asarray(graph.deg)),
+            index.size(), qs, k, ef, ep, threads=1,
+        )
+    else:
+        res = index.knns(qs, k, ef)
+        ids = np.asarray(res.ids)
+        dists = np.asarray(res.dists)
     querytime = time.perf_counter() - t0
     log.info("Total query time: %.3fs, per query: %.2fus",
              querytime, querytime / max(qs.shape[0], 1) * 1e6)
@@ -185,7 +202,8 @@ def cmd_query(a):
     if a.indexfile:
         log.info("Serializing index to %s", a.indexfile)
         save_index(a.indexfile, idx, attrs)
-    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef)
+    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
+                             a.single_threaded)
     write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
 
 
@@ -200,7 +218,8 @@ def cmd_query_index(a):
     log.info("Reading index %s", a.indexfile)
     idx, attrs = load_index(a.indexfile)
     log.info("Read index size=%d", idx.size())
-    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef)
+    dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
+                             a.single_threaded)
     write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
 
 

@@ -138,6 +138,14 @@ class HNSW:
     def size(self) -> int:
         return self.n
 
+    def base_ep(self) -> int:
+        """Follow the down-pointer chain from the top-level entry point to
+        its base id (no greedy descent — a fixed entry for host search)."""
+        e = self.ep
+        for lv in reversed(self.levels):
+            e = int(lv.down[e])
+        return e
+
     def search(self, query, k: int, ef: int) -> KnnResult:
         r = self.knns(np.asarray(query)[None], k, ef)
         return KnnResult(r.dists[0], r.ids[0])
@@ -245,11 +253,12 @@ class HNSWBuilder:
             self._insert_chunk(row[None])
 
     def extend_batched(self, points) -> None:
-        """extend_parallel parity (hnsw.rs:44-169): progressive chunks, one
-        level draw per chunk (the reference's per-chunk quirk, hnsw.rs:65)."""
+        """extend_parallel parity (hnsw.rs:44-169): host-native sequential
+        warmup into the base layer, then progressive chunks with one level
+        draw per chunk (the reference's per-chunk quirk, hnsw.rs:65)."""
         pts = np.asarray(points)
         self._ensure_points(pts)
-        off = 0
+        off = self._host_warmup(pts)
         if self.ep is None and pts.shape[0] > 0:
             self._insert_chunk(pts[:1])
             off = 1
@@ -258,6 +267,38 @@ class HNSWBuilder:
         ):
             self._insert_chunk(pts[off : off + c])
             off += c
+
+    def _host_warmup(self, pts: np.ndarray) -> int:
+        """CPU-native sequential warmup (exact reference insert semantics)
+        into the BASE layer; the hierarchy forms from later chunks. The
+        reference's sequential warmup draws per-point levels (hnsw.rs:54),
+        so this flattens the first ``host_warmup`` points — with geometric
+        level probability 1/m the expected distortion is small, and the
+        entry point stays the first base node."""
+        from .. import native
+
+        warm = min(self.opts.host_warmup, pts.shape[0])
+        if (
+            self.n > 0
+            or warm < 2
+            or self.metric.name not in native.METRIC_CODE
+            or not native.available()
+        ):
+            return 0
+        cap, W = self.opts.size, self.opts.max_connections
+        pts_np = np.zeros((cap, *pts.shape[1:]), pts.dtype)
+        pts_np[:warm] = pts[:warm]
+        adj_np = np.full((cap, W), -1, np.int32)
+        deg_np = np.zeros((cap,), np.int32)
+        native.host_build(
+            pts_np, self.metric.name, adj_np, deg_np, 1, warm,
+            m=self.opts.connections, efc=self.opts.ef_construction, ep=0,
+        )
+        self.points = jnp.asarray(pts_np)
+        self.base = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
+        self.ep = 0
+        self.n = warm
+        return warm
 
     def build(self) -> HNSW:
         return HNSW(
@@ -364,12 +405,12 @@ class HNSWBuilder:
 
     def _search_select_level(self, lv: Level, chunk, eps_j, m, efc):
         c = chunk.shape[0]
-        S = self.opts.batch_size
+        S = 1 if c == 1 else self.opts.batch_size
         outs = []
         for s in range(0, c, S):
             q = chunk[s : s + S]
             b = q.shape[0]
-            bp = b if b == S else 1 << (b - 1).bit_length()
+            bp = S
             valid = np.zeros((bp,), bool)
             valid[:b] = True
             ep_slice = eps_j[s : s + b]
@@ -409,7 +450,7 @@ class HNSWBuilder:
 
     def _apply_level(self, l: int, loc: np.ndarray, sel):
         c = loc.shape[0]
-        cp = 1 << (c - 1).bit_length()
+        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
         new_ids = loc.astype(np.int32)
         sel_np = np.asarray(sel)
         if cp != c:
@@ -431,12 +472,12 @@ class HNSWBuilder:
     def _insert_graph(self, _lv, chunk, new_ids_j, eps_j, is_base: bool):
         assert is_base
         c = chunk.shape[0]
-        S = self.opts.batch_size
+        S = 1 if c == 1 else self.opts.batch_size
         sel_parts = []
         for s in range(0, c, S):
             q = chunk[s : s + S]
             b = q.shape[0]
-            bp = b if b == S else 1 << (b - 1).bit_length()
+            bp = S
             valid = np.zeros((bp,), bool)
             valid[:b] = True
             ep_slice = eps_j[s : s + b]
@@ -459,7 +500,7 @@ class HNSWBuilder:
             sel_parts.append(np.asarray(sel_ids)[:b])
         sel_rows = np.concatenate(sel_parts, axis=0)
         new_ids = np.asarray(new_ids_j).astype(np.int32)
-        cp = 1 << (c - 1).bit_length()
+        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
         if cp != c:
             new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
             sel_rows = _pad_rows(sel_rows, cp)

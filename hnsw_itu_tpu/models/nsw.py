@@ -147,19 +147,48 @@ class NSWBuilder:
             self.extend_batched(pts)
 
     def extend_batched(self, points) -> None:
-        """extend_parallel parity: progressive chunk sizes, batched
-        search-then-mutate per chunk."""
+        """extend_parallel parity: host-native sequential warmup
+        (nsw.rs:234-235), then progressive batched search-then-mutate
+        chunks."""
         pts = np.asarray(points)
         self._ensure_points(pts)
-        off = 0
-        if self.ep is None and pts.shape[0] > 0:
-            self._insert_chunk(pts[:1])
-            off = 1
+        off = self._host_warmup(pts)
+        if self.ep is None and pts.shape[0] > off:
+            self._insert_chunk(pts[off : off + 1])
+            off += 1
         for c in _build.chunk_schedule(
             self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
         ):
             self._insert_chunk(pts[off : off + c])
             off += c
+
+    def _host_warmup(self, pts: np.ndarray) -> int:
+        """Insert the first ``host_warmup`` points on the CPU with exact
+        reference insert semantics (native/hnsw_host.cpp), then upload."""
+        from .. import native
+
+        warm = min(self.opts.host_warmup, pts.shape[0])
+        if (
+            self.n > 0
+            or warm < 2
+            or self.metric.name not in native.METRIC_CODE
+            or not native.available()
+        ):
+            return 0
+        cap, W = self.opts.size, self.opts.max_connections
+        pts_np = np.zeros((cap, *pts.shape[1:]), pts.dtype)
+        pts_np[:warm] = pts[:warm]
+        adj_np = np.full((cap, W), -1, np.int32)
+        deg_np = np.zeros((cap,), np.int32)
+        native.host_build(
+            pts_np, self.metric.name, adj_np, deg_np, 1, warm,
+            m=self.opts.connections, efc=self.opts.ef_construction, ep=0,
+        )
+        self.points = jnp.asarray(pts_np)
+        self.graph = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
+        self.ep = 0
+        self.n = warm
+        return warm
 
     def build(self) -> NSW:
         return NSW(self.points, self.n, self.graph, self.ep, self.metric, self.opts)
@@ -184,12 +213,15 @@ class NSWBuilder:
             if c == 0:
                 return
 
-        S = self.opts.batch_size
+        # constant sub-batch shape: pad every slice to batch_size so the
+        # search compiles exactly once per (efc, m) — sequential (c=1)
+        # inserts keep their own tiny shape
+        S = 1 if c == 1 else self.opts.batch_size
         sel_parts = []
         for s in range(0, c, S):
             q = chunk[s : s + S]
             b = q.shape[0]
-            bp = b if b == S else 1 << (b - 1).bit_length()
+            bp = S
             qb = _pad_rows(q, bp)
             valid = np.zeros((bp,), bool)
             valid[:b] = True
@@ -209,7 +241,9 @@ class NSWBuilder:
         sel_rows = np.concatenate(sel_parts, axis=0)
 
         new_ids = n0 + np.arange(c, dtype=np.int32)
-        cp = 1 << (c - 1).bit_length()  # pad to pow2: few compiled shapes
+        # bucket the mutation shape: pow2 with a floor, so only a handful of
+        # apply_inserts variants ever compile
+        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
         if cp != c:
             new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
             sel_rows = _pad_rows(sel_rows, cp)

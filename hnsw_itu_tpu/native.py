@@ -1,0 +1,162 @@
+"""ctypes bindings for the native host runtime (native/hnsw_host.cpp).
+
+The shared library is compiled on first use (g++ is part of the toolchain;
+pybind11 is not available in this image, hence the plain C ABI + ctypes).
+Exposes:
+
+* ``host_build``      — exact-reference-semantics sequential inserts into the
+                        padded adjacency arrays (the 50k-warmup engine,
+                        nsw.rs:234)
+* ``host_knns``       — multithreaded batch search (rayon par_iter analogue)
+* ``host_bruteforce`` — exact scan oracle
+* ``hamming``         — scalar distance golden hook
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_SO = os.path.join(_NATIVE_DIR, "libhnsw_host.so")
+
+METRIC_CODE = {"hamming": 0, "l2int": 1}
+
+
+def _build_lib():
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+
+
+def available() -> bool:
+    try:
+        return load() is not None
+    except Exception:
+        return False
+
+
+def load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SO):
+            _build_lib()
+        lib = ctypes.CDLL(_SO)
+        lib.hnsw_host_abi_version.restype = ctypes.c_int32
+        if lib.hnsw_host_abi_version() != 1:
+            raise RuntimeError("hnsw_host ABI mismatch")
+        lib.hnsw_host_hamming.restype = ctypes.c_int32
+        lib.hnsw_host_build.restype = ctypes.c_int64
+        lib.hnsw_host_knns.restype = ctypes.c_int64
+        lib.hnsw_host_bruteforce.restype = ctypes.c_int64
+        _LIB = lib
+        return lib
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def hamming(a: np.ndarray, b: np.ndarray) -> int:
+    lib = load()
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    return int(lib.hnsw_host_hamming(_ptr(a), _ptr(b), ctypes.c_int32(a.size)))
+
+
+def host_build(points: np.ndarray, metric: str, adj: np.ndarray,
+               deg: np.ndarray, n0: int, n1: int, m: int, efc: int,
+               ep: int) -> int:
+    """Insert points [n0, n1) sequentially; mutates adj/deg in place."""
+    lib = load()
+    assert adj.dtype == np.int32 and adj.flags.c_contiguous
+    assert deg.dtype == np.int32 and deg.flags.c_contiguous
+    points = np.ascontiguousarray(points)
+    r = lib.hnsw_host_build(
+        _ptr(points),
+        ctypes.c_int32(points.shape[1]),
+        ctypes.c_int32(METRIC_CODE[metric]),
+        adj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(adj.shape[0]),
+        ctypes.c_int32(adj.shape[1]),
+        ctypes.c_int64(n0),
+        ctypes.c_int64(n1),
+        ctypes.c_int32(m),
+        ctypes.c_int32(efc),
+        ctypes.c_int32(ep),
+    )
+    if r < 0:
+        raise ValueError("hnsw_host_build: bad arguments")
+    return int(r)
+
+
+def host_knns(points: np.ndarray, metric: str, adj: np.ndarray,
+              deg: np.ndarray, n: int, queries: np.ndarray, k: int, ef: int,
+              ep: int, threads: int = 0):
+    lib = load()
+    points = np.ascontiguousarray(points)
+    queries = np.ascontiguousarray(queries, points.dtype)
+    nq = queries.shape[0]
+    out_ids = np.empty((nq, k), np.int32)
+    out_dists = np.empty((nq, k), np.int32)
+    r = lib.hnsw_host_knns(
+        _ptr(points),
+        ctypes.c_int32(points.shape[1]),
+        ctypes.c_int32(METRIC_CODE[metric]),
+        adj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(adj.shape[0]),
+        ctypes.c_int32(adj.shape[1]),
+        ctypes.c_int64(n),
+        _ptr(queries),
+        ctypes.c_int64(nq),
+        ctypes.c_int32(k),
+        ctypes.c_int32(ef),
+        ctypes.c_int32(ep),
+        ctypes.c_int32(threads),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if r < 0:
+        raise ValueError("hnsw_host_knns: bad arguments")
+    return out_dists, out_ids
+
+
+def host_bruteforce(points: np.ndarray, metric: str, queries: np.ndarray,
+                    k: int, threads: int = 0):
+    lib = load()
+    points = np.ascontiguousarray(points)
+    queries = np.ascontiguousarray(queries, points.dtype)
+    nq = queries.shape[0]
+    out_ids = np.empty((nq, k), np.int32)
+    out_dists = np.empty((nq, k), np.int32)
+    r = lib.hnsw_host_bruteforce(
+        _ptr(points),
+        ctypes.c_int32(points.shape[1]),
+        ctypes.c_int32(METRIC_CODE[metric]),
+        ctypes.c_int64(points.shape[0]),
+        _ptr(queries),
+        ctypes.c_int64(nq),
+        ctypes.c_int32(k),
+        ctypes.c_int32(threads),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if r < 0:
+        raise ValueError("hnsw_host_bruteforce: bad arguments")
+    return out_dists, out_ids

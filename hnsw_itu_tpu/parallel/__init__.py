@@ -1,0 +1,12 @@
+from .mesh import AXIS, make_mesh, replicate, shard_leading
+from .sharded import ShardedNSW, knns_query_sharded, sharded_build_step
+
+__all__ = [
+    "AXIS",
+    "make_mesh",
+    "replicate",
+    "shard_leading",
+    "ShardedNSW",
+    "knns_query_sharded",
+    "sharded_build_step",
+]

@@ -1,0 +1,324 @@
+"""Sharded indexes over a device mesh.
+
+The reference scales only via rayon threads over one shared-memory index
+(src/index/mod.rs:36-41). On TPU two orthogonal strategies replace it, both
+expressed with ``jax.shard_map`` over a 1-D mesh (SURVEY.md §2 parallelism
+inventory):
+
+* **query sharding** (replicated index): the query batch is split across
+  devices, each searches the full graph — the direct analogue of the
+  rayon par_iter over queries.
+* **index sharding**: the dataset is split into S contiguous shards, each
+  device builds/holds an independent subgraph of its shard; every device
+  searches its shard for the whole query batch and the per-shard top-k are
+  merged with an ``all_gather`` + two-key sort over ICI. This is the
+  "context parallelism" of SURVEY.md §5 — it scales dataset size past one
+  chip's HBM.
+
+Construction of an index-sharded NSW is embarrassingly parallel: one
+bulk-synchronous chunk step per device with no cross-device edges, run as a
+single shard_map step (the multi-chip "training step").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph import GraphArrays
+from ..models import IndexOptions
+from ..models import _build
+from ..models.base import ID_INF, KnnResult
+from ..models.nsw import NSWBuilder
+from ..ops.metrics import get_metric
+from ..ops.search import batched_beam_search
+from .mesh import AXIS, make_mesh, replicate, shard_leading
+
+
+# ---------------------------------------------------------------------------
+# index-sharded query step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh"),
+)
+def _sharded_query_step(
+    points_s, adj_s, ep_s, off_s, n_s, qs, *, k, ef, metric_name, expand,
+    max_steps, mesh
+):
+    metric = get_metric(metric_name)
+
+    def step(points_b, adj_b, ep_b, off_b, n_b, q):
+        points, adj = points_b[0], adj_b[0]
+        cap = adj.shape[0]
+        eps = jnp.full((q.shape[0],), ep_b[0], jnp.int32)
+        res = batched_beam_search(
+            lambda ids: points[ids],
+            adj,
+            q,
+            eps,
+            ef=max(ef, k),
+            metric=metric,
+            capacity=cap,
+            expand=expand,
+            max_steps=max_steps,
+        )
+        d = res.dists[:, :k]
+        i = res.ids[:, :k]
+        # local ids -> global ids; empty shards contribute only sentinels
+        valid = (i != ID_INF) & (n_b[0] > 0)
+        gi = jnp.where(valid, i + off_b[0], ID_INF)
+        gd = jnp.where(valid, d, metric.inf)
+        # merge the per-shard top-k over ICI (all_gather + two-key sort)
+        d_all = jax.lax.all_gather(gd, AXIS)  # [S, B, k]
+        i_all = jax.lax.all_gather(gi, AXIS)
+        S = d_all.shape[0]
+        B = d_all.shape[1]
+        dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
+        im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
+        dm, im = jax.lax.sort((dm, im), num_keys=2)
+        return dm[:, :k], im[:, :k]
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(points_s, adj_s, ep_s, off_s, n_s, qs)
+
+
+# ---------------------------------------------------------------------------
+# index-sharded build step (the multi-chip "training step")
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("efc", "m", "metric_name", "expand", "prune_budget", "mesh"),
+    donate_argnums=(0, 1, 2),
+)
+def sharded_build_step(
+    points_s,
+    adj_s,
+    deg_s,
+    ep_s,
+    n_s,
+    chunk_s,
+    chunk_valid_s,
+    *,
+    efc,
+    m,
+    metric_name,
+    expand,
+    prune_budget,
+    mesh,
+):
+    """One bulk-synchronous construction chunk on every shard at once.
+
+    Each device: append its chunk rows to its local point buffer, beam-search
+    its local graph for neighbors (read-only phase), then apply the
+    vectorized edge writes + degree-cap prunes (mutate phase). No
+    cross-device edges — shards are independent subgraphs.
+    """
+
+    def step(points_b, adj_b, deg_b, ep_b, n_b, chunk_b, valid_b):
+        points, adj, deg = points_b[0], adj_b[0], deg_b[0]
+        n, ep, chunk, valid = n_b[0], ep_b[0], chunk_b[0], valid_b[0]
+        c = chunk.shape[0]
+        cap = points.shape[0]
+
+        points = _build.write_points(points, chunk, n)
+        node_map = jnp.arange(cap, dtype=jnp.int32)
+        sel_ids, _ = _build.search_select(
+            points,
+            node_map,
+            adj,
+            chunk,
+            valid,
+            jnp.full((c,), ep, jnp.int32),
+            efc=efc,
+            m=m,
+            metric_name=metric_name,
+            expand=expand,
+        )
+        new_ids = jnp.where(valid, n + jnp.arange(c, dtype=jnp.int32), -1)
+        g = _build.apply_inserts(
+            points,
+            node_map,
+            GraphArrays(adj, deg),
+            new_ids,
+            sel_ids,
+            metric_name=metric_name,
+            prune_budget=prune_budget,
+        )
+        n_new = n + jnp.sum(valid.astype(jnp.int32))
+        return (
+            points[None],
+            g.adj[None],
+            g.deg[None],
+            n_new[None],
+        )
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 7,
+        out_specs=(P(AXIS),) * 4,
+        check_vma=False,
+    )(points_s, adj_s, deg_s, ep_s, n_s, chunk_s, chunk_valid_s)
+
+
+# ---------------------------------------------------------------------------
+# query-sharded (replicated-index) step — rayon par_iter analogue
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh"),
+)
+def _query_sharded_step(points, adj, ep, qs, *, k, ef, metric_name, expand,
+                        max_steps, mesh):
+    metric = get_metric(metric_name)
+
+    def step(points_r, adj_r, ep_r, q):
+        eps = jnp.full((q.shape[0],), ep_r, jnp.int32)
+        res = batched_beam_search(
+            lambda ids: points_r[ids],
+            adj_r,
+            q,
+            eps,
+            ef=max(ef, k),
+            metric=metric,
+            capacity=adj_r.shape[0],
+            expand=expand,
+            max_steps=max_steps,
+        )
+        return res.dists[:, :k], res.ids[:, :k]
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )(points, adj, ep, qs)
+
+
+# ---------------------------------------------------------------------------
+# user-facing sharded index
+# ---------------------------------------------------------------------------
+
+
+class ShardedNSW:
+    """Index-sharded flat graph: S independent subgraphs, merged top-k."""
+
+    def __init__(self, mesh, points_s, graphs_s, eps, offsets, ns, metric, opts):
+        self.mesh = mesh
+        self.points_s = points_s  # [S, cap_s, D]
+        self.adj_s = graphs_s[0]  # [S, cap_s, W]
+        self.deg_s = graphs_s[1]
+        self.eps = eps  # int32[S] local entry points
+        self.offsets = offsets  # int32[S] global-id offset per shard
+        self.ns = ns  # int32[S]
+        self.metric = get_metric(metric) if isinstance(metric, str) else metric
+        self.opts = opts
+        self.query_expand = 1
+        self.max_steps = 2048
+
+    @classmethod
+    def build(cls, points, opts: IndexOptions, metric="hamming",
+              mesh: Mesh | None = None):
+        """Split contiguously into S shards; build each subgraph with the
+        single-device batched builder; lay the stacked arrays over the mesh."""
+        mesh = mesh or make_mesh()
+        S = mesh.devices.size
+        pts = np.asarray(points)
+        n = pts.shape[0]
+        cap_s = -(-n // S)
+        ptss, adjs, degs, eps, offs, ns = [], [], [], [], [], []
+        for s in range(S):
+            part = pts[s * cap_s : min((s + 1) * cap_s, n)]
+            o = IndexOptions(**{**opts.__dict__, "size": cap_s})
+            b = NSWBuilder(o, metric=metric)
+            if part.shape[0] > 0:
+                b.extend_batched(part)
+            ptss.append(np.asarray(b.points) if b.points is not None
+                        else np.zeros((cap_s, *pts.shape[1:]), pts.dtype))
+            adjs.append(np.asarray(b.graph.adj))
+            degs.append(np.asarray(b.graph.deg))
+            eps.append(b.ep if b.ep is not None else 0)
+            offs.append(s * cap_s)
+            ns.append(part.shape[0])
+        points_s = shard_leading(mesh, jnp.asarray(np.stack(ptss)))
+        adj_s = shard_leading(mesh, jnp.asarray(np.stack(adjs)))
+        deg_s = shard_leading(mesh, jnp.asarray(np.stack(degs)))
+        return cls(
+            mesh,
+            points_s,
+            (adj_s, deg_s),
+            shard_leading(mesh, jnp.asarray(eps, jnp.int32)),
+            shard_leading(mesh, jnp.asarray(offs, jnp.int32)),
+            shard_leading(mesh, jnp.asarray(ns, jnp.int32)),
+            metric,
+            opts,
+        )
+
+    def size(self) -> int:
+        return int(np.asarray(self.ns).sum())
+
+    def knns(self, queries, k: int, ef: int) -> KnnResult:
+        qs = replicate(self.mesh, jnp.asarray(np.asarray(queries)))
+        d, i = _sharded_query_step(
+            self.points_s,
+            self.adj_s,
+            self.eps,
+            self.offsets,
+            self.ns,
+            qs,
+            k=k,
+            ef=ef,
+            metric_name=self.metric.name,
+            expand=self.query_expand,
+            max_steps=self.max_steps,
+            mesh=self.mesh,
+        )
+        return KnnResult(d, i)
+
+    def search(self, query, k: int, ef: int) -> KnnResult:
+        r = self.knns(np.asarray(query)[None], k, ef)
+        return KnnResult(r.dists[0], r.ids[0])
+
+
+def knns_query_sharded(index, queries, k: int, ef: int,
+                       mesh: Mesh | None = None) -> KnnResult:
+    """Replicated-index data parallelism over queries for a single-device
+    NSW index — Index::knns (src/index/mod.rs:27-43) across chips."""
+    mesh = mesh or make_mesh()
+    S = mesh.devices.size
+    qs = np.asarray(queries)
+    nq = qs.shape[0]
+    pad = (-nq) % S
+    if pad:
+        qs = np.concatenate([qs, np.repeat(qs[:1], pad, axis=0)])
+    d, i = _query_sharded_step(
+        replicate(mesh, index.points),
+        replicate(mesh, index.graph.adj),
+        replicate(mesh, jnp.int32(index.ep)),
+        shard_leading(mesh, jnp.asarray(qs)),
+        k=k,
+        ef=ef,
+        metric_name=index.metric.name,
+        expand=index.query_expand,
+        max_steps=index.max_steps,
+        mesh=mesh,
+    )
+    return KnnResult(d[:nq], i[:nq])

@@ -11,7 +11,7 @@ def test_hnsw_integers():
     # (hnsw.rs:309-328 accepts either; approximation tolerated)
     pts = np.arange(20, dtype=np.int32)[:, None]
     b = HNSWBuilder(
-        IndexOptions(ef_construction=4, connections=3, size=len(pts)),
+        IndexOptions(host_warmup=0, ef_construction=4, connections=3, size=len(pts)),
         metric="l2int",
     )
     b.extend(pts)
@@ -25,7 +25,7 @@ def test_hnsw_completeness():
     # k=ef=size returns every element (hnsw.rs:330-331)
     pts = np.arange(20, dtype=np.int32)[:, None]
     b = HNSWBuilder(
-        IndexOptions(ef_construction=4, connections=3, size=len(pts)),
+        IndexOptions(host_warmup=0, ef_construction=4, connections=3, size=len(pts)),
         metric="l2int",
     )
     b.extend(pts)
@@ -39,7 +39,7 @@ def test_hnsw_has_levels():
     rng = np.random.default_rng(5)
     pts = rng.integers(0, 1000, size=(512, 2)).astype(np.int32)
     b = HNSWBuilder(
-        IndexOptions(ef_construction=32, connections=4, max_connections=8,
+        IndexOptions(host_warmup=0, ef_construction=32, connections=4, max_connections=8,
                      size=512, batch_size=64),
         metric="l2int",
     )
@@ -60,7 +60,7 @@ def test_hnsw_batched_recall():
     gt = bf.build().knns(qs, k)
 
     b = HNSWBuilder(
-        IndexOptions(ef_construction=64, connections=16, max_connections=32,
+        IndexOptions(host_warmup=0, ef_construction=64, connections=16, max_connections=32,
                      size=n, batch_size=128),
         metric="hamming",
     )
@@ -86,7 +86,7 @@ def test_hnsw_deterministic_levels():
     shapes = []
     for _ in range(2):
         b = HNSWBuilder(
-            IndexOptions(ef_construction=8, connections=4, size=300),
+            IndexOptions(host_warmup=0, ef_construction=8, connections=4, size=300),
             metric="l2int",
         )
         b.extend_batched(pts)

@@ -65,7 +65,7 @@ def test_save_load_roundtrip(tmp_path, kind):
         idx.build()
     else:
         cls = NSWBuilder if kind == "nsw" else HNSWBuilder
-        b = cls(IndexOptions(ef_construction=16, connections=8,
+        b = cls(IndexOptions(host_warmup=0, ef_construction=16, connections=8,
                              max_connections=16, size=200), metric="hamming")
         b.extend_batched(pts)
         idx = b.build()

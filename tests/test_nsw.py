@@ -11,7 +11,7 @@ def test_nsw_integers():
     # integers 1..19, 4-NN of 5 must be {3,4,5,6} (nsw.rs:366-385)
     pts = np.arange(1, 20, dtype=np.int32)[:, None]
     b = NSWBuilder(
-        IndexOptions(ef_construction=4, size=len(pts)), metric="l2int"
+        IndexOptions(host_warmup=0, ef_construction=4, size=len(pts)), metric="l2int"
     )
     b.extend(pts)
     nsw = b.build()
@@ -23,7 +23,7 @@ def test_nsw_integers():
 def test_nsw_completeness():
     # k=ef=size returns everything (connectivity check, hnsw.rs:330-331)
     pts = np.arange(1, 20, dtype=np.int32)[:, None]
-    b = NSWBuilder(IndexOptions(ef_construction=8, size=len(pts)), metric="l2int")
+    b = NSWBuilder(IndexOptions(host_warmup=0, ef_construction=8, size=len(pts)), metric="l2int")
     b.extend(pts)
     nsw = b.build()
     r = nsw.search(pts[0], nsw.size(), nsw.size())
@@ -41,7 +41,7 @@ def test_nsw_batched_build_recall():
     gt = bf.build().knns(qs, k)
 
     b = NSWBuilder(
-        IndexOptions(ef_construction=64, connections=16, max_connections=32,
+        IndexOptions(host_warmup=0, ef_construction=64, connections=16, max_connections=32,
                      size=n, batch_size=128),
         metric="hamming",
     )
@@ -64,7 +64,7 @@ def test_nsw_batched_build_recall():
 
 
 def test_nsw_capacity_guard():
-    b = NSWBuilder(IndexOptions(size=4), metric="l2int")
+    b = NSWBuilder(IndexOptions(host_warmup=0, size=4), metric="l2int")
     b.extend(np.arange(4, dtype=np.int32)[:, None])
     with pytest.raises(ValueError):
         b.add(np.array([9], np.int32))
