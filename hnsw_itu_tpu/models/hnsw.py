@@ -64,7 +64,8 @@ def _pad_rows(x: np.ndarray, to: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "n_levels"),
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
+                     "n_levels", "dedup"),
 )
 def _hnsw_query_step(
     points,
@@ -79,6 +80,7 @@ def _hnsw_query_step(
     expand,
     max_steps,
     n_levels,
+    dedup="bitmask",
 ):
     """Full HNSW search for one query batch: greedy descent + base beam."""
     metric = get_metric(metric_name)
@@ -113,6 +115,7 @@ def _hnsw_query_step(
         capacity=base_adj.shape[0],
         expand=expand,
         max_steps=max_steps,
+        dedup=dedup,
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -132,6 +135,7 @@ class HNSW:
         self.opts = opts or IndexOptions()
         self.query_expand = 1
         self.query_batch = 1024
+        self.query_dedup = "bitmask"
         self.max_steps = 2048
         self.last_stats = None
 
@@ -175,6 +179,7 @@ class HNSW:
                 expand=self.query_expand,
                 max_steps=self.max_steps,
                 n_levels=len(levels),
+                dedup=self.query_dedup,
             )
             out_d.append(np.asarray(d)[:b])
             out_i.append(np.asarray(i)[:b])

@@ -32,9 +32,11 @@ def _pad_rows(x: np.ndarray, to: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "metric_name", "expand", "max_steps")
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup"),
 )
-def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps):
+def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps,
+                dedup="bitmask"):
     metric = get_metric(metric_name)
     cap = adj.shape[0]
     eps = jnp.full((qs.shape[0],), ep, jnp.int32)
@@ -48,6 +50,7 @@ def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps):
         capacity=cap,
         expand=expand,
         max_steps=max_steps,
+        dedup=dedup,
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -64,6 +67,7 @@ class NSW:
         self.opts = opts or IndexOptions()
         self.query_expand = 1
         self.query_batch = 1024
+        self.query_dedup = "bitmask"
         self.max_steps = 2048
         self.last_stats = None
 
@@ -99,6 +103,7 @@ class NSW:
                 metric_name=self.metric.name,
                 expand=self.query_expand,
                 max_steps=self.max_steps,
+                dedup=self.query_dedup,
             )
             out_d.append(np.asarray(d)[:b])
             out_i.append(np.asarray(i)[:b])

@@ -61,6 +61,7 @@ def beam_search(
     capacity: int,
     expand: int = 1,
     max_steps: int = 2048,
+    dedup: str = "bitmask",
 ) -> SearchResult:
     """Search one query on one graph layer.
 
@@ -73,6 +74,11 @@ def beam_search(
       ef: beam width (result size).
       expand: how many unexpanded beam entries to expand per step.
       max_steps: safety bound on the while_loop trip count.
+      dedup: "bitmask" keeps an exact O(capacity/32) visited bit-vector per
+        query (the reference's HashSet, nsw.rs:143); "beam" drops it and
+        dedups by id inside the merge sort instead — no O(N) state per
+        query (crucial for large batches on big indexes), at the cost of
+        occasionally re-expanding a node that was evicted and rediscovered.
 
     Returns SearchResult with arrays of length ef.
     """
@@ -87,20 +93,23 @@ def beam_search(
     beam_d = jnp.full((ef,), inf, metric.dist_dtype).at[0].set(d_ep)
     beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0].set(ep)
     beam_x = jnp.zeros((ef,), bool)
-    visited = bitset.insert(
-        bitset.make(capacity), ep[None], jnp.ones((1,), bool)
-    )
+    if dedup == "bitmask":
+        visited = bitset.insert(
+            bitset.make(capacity), ep[None], jnp.ones((1,), bool)
+        )
+    else:
+        visited = jnp.zeros((0,), jnp.uint32)  # unused carry placeholder
 
     def worst(bd):
         return bd[ef - 1]
 
     def cond(state):
-        bd, bi, bx, vis, step = state
+        bd, bi, bx, vis, nvis, step = state
         frontier = (~bx) & (bd <= worst(bd)) & (bd < inf)
         return (step < max_steps) & jnp.any(frontier)
 
     def body(state):
-        bd, bi, bx, vis, step = state
+        bd, bi, bx, vis, nvis, step = state
 
         # -- select the E best unexpanded entries (beam is sorted, so the
         #    first E unexpanded are the (d, id)-smallest: pop_min parity).
@@ -119,35 +128,67 @@ def beam_search(
         nbr = jnp.where((nbr >= 0) & sel_ok[:, None], nbr, ID_INF)
         nid = nbr.reshape(C)
 
-        # -- dedup within the step (sort; equal-to-previous are dupes)
-        nid = jax.lax.sort(nid)
-        is_dup = jnp.concatenate(
-            [jnp.zeros((1,), bool), nid[1:] == nid[:-1]]
-        )
-        in_range = nid < capacity
-        fresh = in_range & (~is_dup) & (~bitset.contains(vis, nid))
-        vis = bitset.insert(vis, nid, fresh)
+        if dedup == "bitmask":
+            # -- dedup within the step (sort; equal-to-previous are dupes)
+            nid = jax.lax.sort(nid)
+            is_dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), nid[1:] == nid[:-1]]
+            )
+            in_range = nid < capacity
+            fresh = in_range & (~is_dup) & (~bitset.contains(vis, nid))
+            vis = bitset.insert(vis, nid, fresh)
+            nvis = nvis + jnp.sum(fresh.astype(jnp.int32))
 
-        # -- distances for fresh candidates
-        pts = get_points(jnp.clip(nid, 0, capacity - 1))
-        cd = metric.one_to_many(q, pts)
-        cd = jnp.where(fresh, cd, inf)
-        ci = jnp.where(fresh, nid, ID_INF)
+            pts = get_points(jnp.clip(nid, 0, capacity - 1))
+            cd = metric.one_to_many(q, pts)
+            cd = jnp.where(fresh, cd, inf)
+            ci = jnp.where(fresh, nid, ID_INF)
 
-        # -- merge into beam: two-key sort by (d, id), truncate to ef.
-        #    This applies the reference's insert rule exactly: a candidate
-        #    survives iff it beats the current worst once the beam is full
-        #    (nsw.rs:167-176), with (distance, key) tie-break (mod.rs:90-96).
-        md = jnp.concatenate([bd, cd])
-        mi = jnp.concatenate([bi, ci])
-        mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
-        md, mi, mx = jax.lax.sort((md, mi, mx), num_keys=2)
-        return md[:ef], mi[:ef], mx[:ef], vis, step + 1
+            # -- merge into beam: two-key sort by (d, id), truncate to ef.
+            #    This applies the reference's insert rule exactly: a
+            #    candidate survives iff it beats the current worst once the
+            #    beam is full (nsw.rs:167-176), with (distance, key)
+            #    tie-break (mod.rs:90-96).
+            md = jnp.concatenate([bd, cd])
+            mi = jnp.concatenate([bi, ci])
+            mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
+            md, mi, mx = jax.lax.sort((md, mi, mx), num_keys=2)
+        else:
+            # -- visited-free: distances for all candidates, then dedup by
+            #    id inside the merge (keep the expanded copy so nothing is
+            #    re-expanded while it stays in the beam)
+            pts = get_points(jnp.clip(nid, 0, capacity - 1))
+            cd = metric.one_to_many(q, pts)
+            cd = jnp.where(nid < capacity, cd, inf)
+            ci = jnp.where(nid < capacity, nid, ID_INF)
 
-    beam_d, beam_i, beam_x, visited, steps = jax.lax.while_loop(
-        cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(0))
+            md = jnp.concatenate([bd, cd])
+            mi = jnp.concatenate([bi, ci])
+            mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
+            is_cand = jnp.concatenate(
+                [jnp.zeros((ef,), bool), jnp.ones((C,), bool)]
+            )
+            # sort by (id, expanded-first); kill equal-id successors
+            notx = (~mx).astype(jnp.int32)
+            mi, notx, md, mx, is_cand = jax.lax.sort(
+                (mi, notx, md, mx, is_cand), num_keys=2
+            )
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), mi[1:] == mi[:-1]]
+            )
+            nvis = nvis + jnp.sum(
+                ((~dup) & is_cand & (mi < capacity)).astype(jnp.int32)
+            )
+            md = jnp.where(dup, inf, md)
+            mi = jnp.where(dup, ID_INF, mi)
+            mx = jnp.where(dup, False, mx)
+            md, mi, mx = jax.lax.sort((md, mi, mx), num_keys=2)
+        return md[:ef], mi[:ef], mx[:ef], vis, nvis, step + 1
+
+    beam_d, beam_i, beam_x, visited, n_visited, steps = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(1), jnp.int32(0))
     )
-    return SearchResult(beam_d, beam_i, bitset.count(visited), steps)
+    return SearchResult(beam_d, beam_i, n_visited, steps)
 
 
 def greedy_search(get_points, adj, q, ep, *, metric, capacity, max_steps=512):
@@ -178,6 +219,7 @@ def batched_beam_search(
     capacity: int,
     expand: int = 1,
     max_steps: int = 2048,
+    dedup: str = "bitmask",
 ) -> SearchResult:
     """vmap of beam_search over a query batch (and per-query entry points)."""
     fn = partial(
@@ -189,5 +231,6 @@ def batched_beam_search(
         capacity=capacity,
         expand=expand,
         max_steps=max_steps,
+        dedup=dedup,
     )
     return jax.vmap(fn)(queries, eps)
