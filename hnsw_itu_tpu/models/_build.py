@@ -39,7 +39,7 @@ from ..ops.select import select_neighbors
 
 @functools.partial(
     jax.jit,
-    static_argnames=("efc", "m", "metric_name", "expand", "max_steps"),
+    static_argnames=("efc", "m", "metric_name", "expand", "max_steps", "dedup"),
     donate_argnums=(),
 )
 def search_select(
@@ -55,6 +55,7 @@ def search_select(
     metric_name: str,
     expand: int = 1,
     max_steps: int = 2048,
+    dedup: str = "beam",
 ):
     """Phase 1: for a sub-batch of new points, beam-search the current graph
     (ef=ef_construction) and diversity-select up to m neighbors each —
@@ -87,6 +88,7 @@ def search_select(
         capacity=cap_graph,
         expand=expand,
         max_steps=max_steps,
+        dedup=dedup,
     )
 
     def sel_one(q, bd, bi, ok):

@@ -39,7 +39,7 @@ class IndexOptions:
     size: int = 0
     # TPU-specific knobs (no reference counterpart):
     expand: int = 1  # E-way frontier expansion during construction searches
-    batch_size: int = 256  # search/select sub-batch inside build chunks
+    batch_size: int = 1024  # search/select sub-batch inside build chunks
     prune_budget: int = 256  # max degree-cap prunes applied per chunk
     seed: int = 0  # extra entropy mixed into the level RNG
     # native-host warmup: first points inserted sequentially on the CPU with

@@ -73,6 +73,7 @@ def _hnsw_query_step(
     base_adj,
     qs,
     ep,
+    base_adj_pts=None,
     *,
     k,
     ef,
@@ -115,7 +116,10 @@ def _hnsw_query_step(
         capacity=base_adj.shape[0],
         expand=expand,
         max_steps=max_steps,
-        dedup=dedup,
+        dedup="beam" if base_adj_pts is not None else dedup,
+        get_nbr_pts=(
+            None if base_adj_pts is None else (lambda ids: base_adj_pts[ids])
+        ),
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -138,9 +142,19 @@ class HNSW:
         self.query_dedup = "bitmask"
         self.max_steps = 2048
         self.last_stats = None
+        self.adj_pts = None
 
     def size(self) -> int:
         return self.n
+
+    def enable_inline(self) -> None:
+        """Materialize inline neighbor points for the base layer (the hot
+        one): [cap, W, words] contiguous rows, one sequential read per
+        expansion instead of W random 128B gathers."""
+        if self.adj_pts is None:
+            from .nsw import _materialize_inline
+
+            self.adj_pts = _materialize_inline(self.points, self.base.adj)
 
     def base_ep(self) -> int:
         """Follow the down-pointer chain from the top-level entry point to
@@ -173,6 +187,7 @@ class HNSW:
                 self.base.adj,
                 jnp.asarray(_pad_rows(q, bp)),
                 jnp.int32(self.ep),
+                self.adj_pts,
                 k=k,
                 ef=ef,
                 metric_name=self.metric.name,
@@ -259,8 +274,11 @@ class HNSWBuilder:
 
     def extend_batched(self, points) -> None:
         """extend_parallel parity (hnsw.rs:44-169): host-native sequential
-        warmup into the base layer, then progressive chunks with one level
-        draw per chunk (the reference's per-chunk quirk, hnsw.rs:65)."""
+        warmup into the base layer, then progressive chunks. Levels are
+        drawn PER POINT and the chunk processed in per-level groups — the
+        reference's one-draw-per-chunk quirk (hnsw.rs:65) starves the
+        hierarchy at TPU-sized chunks (a 4096-point chunk is one draw),
+        which would leave large indexes effectively flat."""
         pts = np.asarray(points)
         self._ensure_points(pts)
         off = self._host_warmup(pts)
@@ -270,7 +288,27 @@ class HNSWBuilder:
         for c in _build.chunk_schedule(
             self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
         ):
-            self._insert_chunk(pts[off : off + c])
+            chunk = pts[off : off + c]
+            # write the whole chunk in ORIGINAL order (ids must match
+            # dataset row order), then insert per-level groups
+            n0 = self.n
+            if self.n + c > self.opts.size:
+                raise ValueError(
+                    "index capacity exceeded; raise IndexOptions.size"
+                )
+            self.points = _build.write_points(
+                self.points, jnp.asarray(chunk), jnp.int32(n0)
+            )
+            self.n += c
+            levels = np.array([self._random_level() for _ in range(c)])
+            # highest groups first so new top layers seed correctly
+            for lvl in sorted(set(levels.tolist()), reverse=True):
+                mask = levels == lvl
+                self._insert_registered(
+                    chunk[mask],
+                    (n0 + np.nonzero(mask)[0]).astype(np.int32),
+                    int(lvl),
+                )
             off += c
 
     def _host_warmup(self, pts: np.ndarray) -> int:
@@ -318,7 +356,9 @@ class HNSWBuilder:
         )
 
     # -- the chunk insert ------------------------------------------------------
-    def _insert_chunk(self, chunk: np.ndarray):
+    def _insert_chunk(self, chunk: np.ndarray, level: int | None = None):
+        """Write + insert a contiguous chunk (sequential path: chunks of 1,
+        per-point level draw — hnsw.rs:183-244)."""
         c = chunk.shape[0]
         if self.n + c > self.opts.size:
             raise ValueError("index capacity exceeded; raise IndexOptions.size")
@@ -340,7 +380,17 @@ class HNSWBuilder:
             if c == 0:
                 return
 
-        level = self._random_level()
+        if level is None:
+            level = self._random_level()
+        self._insert_registered(chunk, base_ids, level)
+
+    def _insert_registered(self, chunk: np.ndarray, base_ids: np.ndarray,
+                           level: int):
+        """Insert already-written points (ids = their base rows) at the
+        given level."""
+        c = chunk.shape[0]
+        if c == 0:
+            return
 
         # Snapshot the pre-chunk hierarchy: this chunk's descent and inserts
         # must start from the OLD entry point / layers. (The reference

@@ -55,6 +55,38 @@ def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps,
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps"),
+)
+def _query_step_inline(points, adj, adj_pts, qs, ep, *, k, ef, metric_name,
+                       expand, max_steps):
+    """Inline-neighbor query: each expansion reads one contiguous
+    [W, words] row from adj_pts instead of W random point gathers."""
+    metric = get_metric(metric_name)
+    cap = adj.shape[0]
+    eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    res = batched_beam_search(
+        lambda ids: points[ids],
+        adj,
+        qs,
+        eps,
+        ef=max(ef, k),
+        metric=metric,
+        capacity=cap,
+        expand=expand,
+        max_steps=max_steps,
+        dedup="beam",
+        get_nbr_pts=lambda ids: adj_pts[ids],
+    )
+    return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
+
+
+@jax.jit
+def _materialize_inline(points, adj):
+    return points[jnp.clip(adj, 0, points.shape[0] - 1)]
+
+
 class NSW:
     """Immutable search-side index."""
 
@@ -70,9 +102,17 @@ class NSW:
         self.query_dedup = "bitmask"
         self.max_steps = 2048
         self.last_stats = None
+        self.adj_pts = None
 
     def size(self) -> int:
         return self.n
+
+    def enable_inline(self) -> None:
+        """Materialize adj_pts ([cap, W, words] inline neighbor points) for
+        sequential-read expansions. Costs W x points memory; pays off on
+        query throughput (HBM gathers of 128B rows are descriptor-bound)."""
+        if self.adj_pts is None:
+            self.adj_pts = _materialize_inline(self.points, self.graph.adj)
 
     def search(self, query, k: int, ef: int) -> KnnResult:
         r = self.knns(np.asarray(query)[None], k, ef)
@@ -93,18 +133,32 @@ class NSW:
             b = q.shape[0]
             bp = b if b == B else 1 << (b - 1).bit_length()
             qb = _pad_rows(q, bp)
-            d, i, vis, st = _query_step(
-                self.points,
-                self.graph.adj,
-                jnp.asarray(qb),
-                jnp.int32(self.ep),
-                k=k,
-                ef=ef,
-                metric_name=self.metric.name,
-                expand=self.query_expand,
-                max_steps=self.max_steps,
-                dedup=self.query_dedup,
-            )
+            if self.adj_pts is not None:
+                d, i, vis, st = _query_step_inline(
+                    self.points,
+                    self.graph.adj,
+                    self.adj_pts,
+                    jnp.asarray(qb),
+                    jnp.int32(self.ep),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    expand=self.query_expand,
+                    max_steps=self.max_steps,
+                )
+            else:
+                d, i, vis, st = _query_step(
+                    self.points,
+                    self.graph.adj,
+                    jnp.asarray(qb),
+                    jnp.int32(self.ep),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    expand=self.query_expand,
+                    max_steps=self.max_steps,
+                    dedup=self.query_dedup,
+                )
             out_d.append(np.asarray(d)[:b])
             out_i.append(np.asarray(i)[:b])
             visited += int(np.asarray(vis)[:b].sum())

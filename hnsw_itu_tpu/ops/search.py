@@ -62,6 +62,7 @@ def beam_search(
     expand: int = 1,
     max_steps: int = 2048,
     dedup: str = "bitmask",
+    get_nbr_pts: Callable[[jax.Array], jax.Array] | None = None,
 ) -> SearchResult:
     """Search one query on one graph layer.
 
@@ -79,9 +80,17 @@ def beam_search(
         dedups by id inside the merge sort instead — no O(N) state per
         query (crucial for large batches on big indexes), at the cost of
         occasionally re-expanding a node that was evicted and rediscovered.
+      get_nbr_pts: optional inline-neighbor fetch: ids int32[E] (the
+        expanded nodes) -> [E, W, ...] the points of their whole adjacency
+        rows, stored contiguously. Turns W random 128B point gathers per
+        expansion into one sequential multi-KB row read — the HBM-friendly
+        layout. Requires dedup="beam" (candidate order must stay aligned
+        with the inline rows).
 
     Returns SearchResult with arrays of length ef.
     """
+    if get_nbr_pts is not None and dedup != "beam":
+        raise ValueError("inline neighbor points require dedup='beam'")
     inf = metric.inf
     W = adj.shape[1]
     E = expand
@@ -157,7 +166,11 @@ def beam_search(
             # -- visited-free: distances for all candidates, then dedup by
             #    id inside the merge (keep the expanded copy so nothing is
             #    re-expanded while it stays in the beam)
-            pts = get_points(jnp.clip(nid, 0, capacity - 1))
+            if get_nbr_pts is not None:
+                pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
+                pts = pts.reshape(C, *pts.shape[2:])
+            else:
+                pts = get_points(jnp.clip(nid, 0, capacity - 1))
             cd = metric.one_to_many(q, pts)
             cd = jnp.where(nid < capacity, cd, inf)
             ci = jnp.where(nid < capacity, nid, ID_INF)
@@ -220,6 +233,7 @@ def batched_beam_search(
     expand: int = 1,
     max_steps: int = 2048,
     dedup: str = "bitmask",
+    get_nbr_pts=None,
 ) -> SearchResult:
     """vmap of beam_search over a query batch (and per-query entry points)."""
     fn = partial(
@@ -232,5 +246,6 @@ def batched_beam_search(
         expand=expand,
         max_steps=max_steps,
         dedup=dedup,
+        get_nbr_pts=get_nbr_pts,
     )
     return jax.vmap(fn)(queries, eps)
