@@ -354,7 +354,12 @@ def make_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
     ulog.setup(args.verbose - args.quiet)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (FileNotFoundError, OSError, ValueError, KeyError) as e:
+        # anyhow-style clean error surface (main.rs:31,63)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     return 0
 
 
