@@ -74,6 +74,7 @@ def _hnsw_query_step(
     qs,
     ep,
     base_adj_pts=None,
+    level_adj_pts=None,
     *,
     k,
     ef,
@@ -92,6 +93,7 @@ def _hnsw_query_step(
         node_ids, down, graph = levels[l]
         adj = graph.adj
         cap_l = adj.shape[0]
+        lv_pts = None if level_adj_pts is None else level_adj_pts[l]
         res = batched_beam_search(
             lambda ids, ni=node_ids: points[ni[ids]],
             adj,
@@ -102,6 +104,10 @@ def _hnsw_query_step(
             capacity=cap_l,
             expand=1,
             max_steps=max_steps,
+            dedup="beam" if lv_pts is not None else "bitmask",
+            get_nbr_pts=(
+                None if lv_pts is None else (lambda ids, p=lv_pts: p[ids])
+            ),
         )
         local_min = jnp.clip(res.ids[:, 0], 0, cap_l - 1)
         eps = down[local_min]
@@ -143,18 +149,24 @@ class HNSW:
         self.max_steps = 2048
         self.last_stats = None
         self.adj_pts = None
+        self.level_adj_pts = None
 
     def size(self) -> int:
         return self.n
 
     def enable_inline(self) -> None:
-        """Materialize inline neighbor points for the base layer (the hot
-        one): [cap, W, words] contiguous rows, one sequential read per
-        expansion instead of W random 128B gathers."""
+        """Materialize inline neighbor points: [cap, W, words] contiguous
+        rows for the base layer AND every level (levels are small), so each
+        expansion is one sequential read instead of W random 128B gathers."""
         if self.adj_pts is None:
             from .nsw import _materialize_inline
 
             self.adj_pts = _materialize_inline(self.points, self.base.adj)
+            self.level_adj_pts = tuple(
+                _materialize_inline(self.points, lv.node_ids[jnp.clip(
+                    lv.graph.adj, 0, lv.node_ids.shape[0] - 1)])
+                for lv in self.levels
+            )
 
     def base_ep(self) -> int:
         """Follow the down-pointer chain from the top-level entry point to
@@ -188,6 +200,7 @@ class HNSW:
                 jnp.asarray(_pad_rows(q, bp)),
                 jnp.int32(self.ep),
                 self.adj_pts,
+                self.level_adj_pts,
                 k=k,
                 ef=ef,
                 metric_name=self.metric.name,
