@@ -70,6 +70,7 @@ def main():
 
     # timed query runs (first run includes compile; take best of 2 after)
     index.query_batch = 4096
+    index.enable_inline()
     index.knns(qs[:4096], K, EF)  # compile
     best = float("inf")
     for _ in range(2):

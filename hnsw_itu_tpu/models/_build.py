@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import GraphArrays, append_reverse_edges, prune_rows, set_rows
+from ..ops.entry import sampled_entry
 from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
 from ..ops.select import select_neighbors
@@ -159,6 +160,16 @@ def apply_inserts(
     nbr_pts = points[node_map[jnp.clip(nbr_rows, 0, cap - 1)]]
     graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
     return graph
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_size", "metric_name")
+)
+def entry_step(points, qs, n, *, sample_size, metric_name):
+    """Jitted MXU sampled-entry (ops/entry.py) for construction searches."""
+    return sampled_entry(
+        points, qs, n, sample_size=sample_size, metric=get_metric(metric_name)
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -42,6 +42,8 @@ class IndexOptions:
     batch_size: int = 1024  # search/select sub-batch inside build chunks
     prune_budget: int = 256  # max degree-cap prunes applied per chunk
     seed: int = 0  # extra entropy mixed into the level RNG
+    # MXU sampled-entry for construction searches (0 = descend/global ep)
+    entry_sample: int = 1024
     # native-host warmup: first points inserted sequentially on the CPU with
     # exact reference semantics before batched TPU chunks take over — the
     # analogue of the reference's 50k sequential warmup (nsw.rs:234-235)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import GraphArrays, make_graph
+from ..ops.entry import sampled_entry
 from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
 from . import _build
@@ -65,7 +66,7 @@ def _pad_rows(x: np.ndarray, to: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
-                     "n_levels", "dedup"),
+                     "n_levels", "dedup", "entry_sample"),
 )
 def _hnsw_query_step(
     points,
@@ -75,6 +76,7 @@ def _hnsw_query_step(
     ep,
     base_adj_pts=None,
     level_adj_pts=None,
+    n=None,
     *,
     k,
     ef,
@@ -83,13 +85,22 @@ def _hnsw_query_step(
     max_steps,
     n_levels,
     dedup="bitmask",
+    entry_sample=0,
 ):
-    """Full HNSW search for one query batch: greedy descent + base beam."""
+    """Full HNSW search for one query batch: greedy descent (or MXU sampled
+    entry) + base beam."""
     metric = get_metric(metric_name)
     B = qs.shape[0]
-    eps = jnp.full((B,), ep, jnp.int32)
+    if entry_sample > 0 and n is not None:
+        # sampled entry replaces the descent: one dense MXU block
+        eps = sampled_entry(points, qs, n, sample_size=entry_sample,
+                            metric=metric)
+        descent_levels = []
+    else:
+        eps = jnp.full((B,), ep, jnp.int32)
+        descent_levels = list(range(n_levels - 1, -1, -1))
     # descent (hnsw.rs:285-293): ef=1 beam on each level, follow down-pointer
-    for l in range(n_levels - 1, -1, -1):
+    for l in descent_levels:
         node_ids, down, graph = levels[l]
         adj = graph.adj
         cap_l = adj.shape[0]
@@ -146,6 +157,7 @@ class HNSW:
         self.query_expand = 1
         self.query_batch = 1024
         self.query_dedup = "bitmask"
+        self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
         self.max_steps = 2048
         self.last_stats = None
         self.adj_pts = None
@@ -201,6 +213,7 @@ class HNSW:
                 jnp.int32(self.ep),
                 self.adj_pts,
                 self.level_adj_pts,
+                jnp.int32(self.n),
                 k=k,
                 ef=ef,
                 metric_name=self.metric.name,
@@ -208,6 +221,7 @@ class HNSW:
                 max_steps=self.max_steps,
                 n_levels=len(levels),
                 dedup=self.query_dedup,
+                entry_sample=self.query_entry_sample,
             )
             out_d.append(np.asarray(d)[:b])
             out_i.append(np.asarray(i)[:b])
@@ -441,8 +455,27 @@ class HNSWBuilder:
         if new_ep:
             self.ep = int(slots[-1][0])
 
-        # -- greedy descent from the OLD entry point through old levels above
-        #    `level` (hnsw.rs:94-108) — correct down-pointer chaining
+        # -- entry points: MXU sampled entry for level-0 points (the vast
+        #    majority) skips the descent entirely; points occupying upper
+        #    levels keep the greedy descent chain (hnsw.rs:94-108)
+        n_before = int(base_ids[0])
+        if (
+            level == 0
+            and self.opts.entry_sample > 0
+            and n_before > self.opts.entry_sample
+        ):
+            eps_j = _build.entry_step(
+                self.points,
+                jnp.asarray(chunk),
+                jnp.int32(n_before),
+                sample_size=self.opts.entry_sample,
+                metric_name=self.metric.name,
+            )
+            self._insert_graph(
+                None, chunk, jnp.asarray(base_ids), eps_j, is_base=True
+            )
+            return
+
         eps_j = jnp.full((c,), ep_old, jnp.int32)
         for l in range(L_old - 1, level - 1, -1):
             eps_j = self._descend_level(l, chunk, eps_j)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import GraphArrays, make_graph
+from ..ops.entry import sampled_entry
 from ..ops.metrics import Metric, get_metric
 from ..ops.search import batched_beam_search
 from . import _build
@@ -33,13 +34,18 @@ def _pad_rows(x: np.ndarray, to: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup"),
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup",
+                     "entry_sample"),
 )
-def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps,
-                dedup="bitmask"):
+def _query_step(points, adj, qs, ep, n=None, *, k, ef, metric_name, expand,
+                max_steps, dedup="bitmask", entry_sample=0):
     metric = get_metric(metric_name)
     cap = adj.shape[0]
-    eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    if entry_sample > 0 and n is not None:
+        eps = sampled_entry(points, qs, n, sample_size=entry_sample,
+                            metric=metric)
+    else:
+        eps = jnp.full((qs.shape[0],), ep, jnp.int32)
     res = batched_beam_search(
         lambda ids: points[ids],
         adj,
@@ -57,15 +63,20 @@ def _query_step(points, adj, qs, ep, *, k, ef, metric_name, expand, max_steps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric_name", "expand", "max_steps"),
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
+                     "entry_sample"),
 )
-def _query_step_inline(points, adj, adj_pts, qs, ep, *, k, ef, metric_name,
-                       expand, max_steps):
+def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
+                       metric_name, expand, max_steps, entry_sample=0):
     """Inline-neighbor query: each expansion reads one contiguous
     [W, words] row from adj_pts instead of W random point gathers."""
     metric = get_metric(metric_name)
     cap = adj.shape[0]
-    eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    if entry_sample > 0 and n is not None:
+        eps = sampled_entry(points, qs, n, sample_size=entry_sample,
+                            metric=metric)
+    else:
+        eps = jnp.full((qs.shape[0],), ep, jnp.int32)
     res = batched_beam_search(
         lambda ids: points[ids],
         adj,
@@ -100,6 +111,7 @@ class NSW:
         self.query_expand = 1
         self.query_batch = 1024
         self.query_dedup = "bitmask"
+        self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
         self.max_steps = 2048
         self.last_stats = None
         self.adj_pts = None
@@ -140,11 +152,13 @@ class NSW:
                     self.adj_pts,
                     jnp.asarray(qb),
                     jnp.int32(self.ep),
+                    jnp.int32(self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
                     expand=self.query_expand,
                     max_steps=self.max_steps,
+                    entry_sample=self.query_entry_sample,
                 )
             else:
                 d, i, vis, st = _query_step(
@@ -152,12 +166,14 @@ class NSW:
                     self.graph.adj,
                     jnp.asarray(qb),
                     jnp.int32(self.ep),
+                    jnp.int32(self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
                     expand=self.query_expand,
                     max_steps=self.max_steps,
                     dedup=self.query_dedup,
+                    entry_sample=self.query_entry_sample,
                 )
             out_d.append(np.asarray(d)[:b])
             out_i.append(np.asarray(i)[:b])
@@ -284,13 +300,22 @@ class NSWBuilder:
             qb = _pad_rows(q, bp)
             valid = np.zeros((bp,), bool)
             valid[:b] = True
+            qj = jnp.asarray(qb)
+            if self.opts.entry_sample > 0 and n0 > self.opts.entry_sample:
+                eps = _build.entry_step(
+                    self.points, qj, jnp.int32(n0),
+                    sample_size=self.opts.entry_sample,
+                    metric_name=self.metric.name,
+                )
+            else:
+                eps = jnp.full((bp,), self.ep, jnp.int32)
             sel_ids, _ = _build.search_select(
                 self.points,
                 self._node_map,
                 self.graph.adj,
-                jnp.asarray(qb),
+                qj,
                 jnp.asarray(valid),
-                jnp.full((bp,), self.ep, jnp.int32),
+                eps,
                 efc=self.opts.ef_construction,
                 m=self.opts.connections,
                 metric_name=self.metric.name,
