@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from hnsw_itu_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     t_start = time.perf_counter()
     N = int(os.environ.get("BENCH_N", 100_000))
     NQ = int(os.environ.get("BENCH_Q", 5_000))

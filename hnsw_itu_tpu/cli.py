@@ -356,6 +356,9 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     args = make_parser().parse_args(argv)
     ulog.setup(args.verbose - args.quiet)
     try:
