@@ -65,6 +65,7 @@ class AppendResult(NamedTuple):
     # per-flattened-edge bookkeeping, sorted by target:
     targets: jax.Array  # int32[E] sorted target ids (invalid -> capacity)
     sources: jax.Array  # int32[E] new-point ids aligned with targets
+    cols: jax.Array  # int32[E] column each edge was stored at (clamped)
     written: jax.Array  # bool[E] actually stored (False = dropped: row full)
     incoming: jax.Array  # int32[capacity+1] per-target incoming count
 
@@ -98,7 +99,7 @@ def append_reverse_edges(
     deg = g.deg.at[row].add(ok.astype(jnp.int32), mode="drop")
 
     incoming = jnp.zeros((cap + 1,), jnp.int32).at[t].add(1, mode="drop")
-    return AppendResult(GraphArrays(adj, deg), t, s, ok, incoming)
+    return AppendResult(GraphArrays(adj, deg), t, s, col, ok, incoming)
 
 
 def prune_rows(

@@ -50,6 +50,7 @@ def search_select(
     qs,
     q_valid,
     eps,
+    adj_pts=None,
     *,
     efc: int,
     m: int,
@@ -89,7 +90,10 @@ def search_select(
         capacity=cap_graph,
         expand=expand,
         max_steps=max_steps,
-        dedup=dedup,
+        dedup="beam" if adj_pts is not None else dedup,
+        get_nbr_pts=(
+            None if adj_pts is None else (lambda ids: adj_pts[ids])
+        ),
     )
 
     def sel_one(q, bd, bi, ok):
@@ -107,7 +111,7 @@ def search_select(
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "prune_budget"),
-    donate_argnums=(2,),
+    donate_argnums=(2, 5),
 )
 def apply_inserts(
     points,
@@ -115,6 +119,7 @@ def apply_inserts(
     graph: GraphArrays,
     new_ids,
     sel_rows,
+    adj_pts=None,
     *,
     metric_name: str,
     prune_budget: int = 256,
@@ -125,9 +130,17 @@ def apply_inserts(
       new_ids: int32[c] graph-local ids of the freshly inserted points
         (-1 padding skipped).
       sel_rows: int32[c, m] selected neighbors per new point (-1 padded).
+      adj_pts: optional inline-neighbor rows [cap, W, ...] kept consistent
+        with every mutation (forward rows, reverse appends, prunes) so
+        construction searches can use the fast sequential-read path.
+
+    Returns (graph, adj_pts).
     """
     metric = get_metric(metric_name)
     cap, W = graph.adj.shape
+
+    def pts_of(ids):
+        return points[node_map[jnp.clip(ids, 0, cap - 1)]]
 
     # forward edges: the new point's whole row (its row was empty)
     pad = W - sel_rows.shape[1]
@@ -138,6 +151,9 @@ def apply_inserts(
         )
     deg_before = graph.deg
     graph = set_rows(graph, new_ids, rows)
+    if adj_pts is not None:
+        safe_new = jnp.where(new_ids >= 0, new_ids, cap)
+        adj_pts = adj_pts.at[safe_new].set(pts_of(rows), mode="drop")
 
     # reverse edges, grouped append
     c, m = sel_rows.shape
@@ -146,6 +162,11 @@ def apply_inserts(
     targets = jnp.where((sources >= 0) & (targets >= 0), targets, -1)
     res = append_reverse_edges(graph, targets, sources)
     graph = res.graph
+    if adj_pts is not None:
+        row_t = jnp.where(res.written, res.targets, cap)
+        adj_pts = adj_pts.at[row_t, res.cols].set(
+            pts_of(res.sources), mode="drop"
+        )
 
     # budgeted degree-cap prune of overfull receivers (nsw.rs:105-130)
     demand = deg_before + res.incoming[:cap]
@@ -157,9 +178,60 @@ def apply_inserts(
     safe = jnp.clip(prune_ids, 0, cap - 1)
     node_pts = points[node_map[safe]]
     nbr_rows = graph.adj[safe]
-    nbr_pts = points[node_map[jnp.clip(nbr_rows, 0, cap - 1)]]
+    nbr_pts = pts_of(nbr_rows)
     graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
-    return graph
+    if adj_pts is not None:
+        safe_t = jnp.where(prune_ids >= 0, prune_ids, cap)
+        adj_pts = adj_pts.at[safe_t].set(pts_of(graph.adj[safe]), mode="drop")
+    return graph, adj_pts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "efc", "m", "metric_name", "expand", "max_steps", "dedup"
+    ),
+)
+def search_select_window(
+    points,
+    node_map,
+    adj,
+    qs_full,
+    eps_full,
+    start,
+    n_valid,
+    adj_pts=None,
+    *,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    dedup: str = "beam",
+):
+    """Device-resident windowed search_select: slices an S-query window out
+    of the full (padded) chunk ON DEVICE. Keeps the whole chunk loop free of
+    per-window host transfers and eager ops — on a remote-tunnel backend
+    every eager op costs a round trip."""
+    qs = jax.lax.dynamic_slice_in_dim(qs_full, start, S, axis=0)
+    eps = jax.lax.dynamic_slice_in_dim(eps_full, start, S, axis=0)
+    valid = (start + jnp.arange(S, dtype=jnp.int32)) < n_valid
+    return search_select(
+        points,
+        node_map,
+        adj,
+        qs,
+        valid,
+        eps,
+        adj_pts,
+        efc=efc,
+        m=m,
+        metric_name=metric_name,
+        expand=expand,
+        max_steps=max_steps,
+        dedup=dedup,
+    )
 
 
 @functools.partial(

@@ -170,10 +170,11 @@ class HNSW:
         """Materialize inline neighbor points: [cap, W, words] contiguous
         rows for the base layer AND every level (levels are small), so each
         expansion is one sequential read instead of W random 128B gathers."""
-        if self.adj_pts is None:
-            from .nsw import _materialize_inline
+        from .nsw import _materialize_inline
 
+        if self.adj_pts is None:
             self.adj_pts = _materialize_inline(self.points, self.base.adj)
+        if self.level_adj_pts is None:
             self.level_adj_pts = tuple(
                 _materialize_inline(self.points, lv.node_ids[jnp.clip(
                     lv.graph.adj, 0, lv.node_ids.shape[0] - 1)])
@@ -246,6 +247,7 @@ class HNSWBuilder:
         self.levels: list[Level] = []
         self.level_ns: list[int] = []
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
+        self.adj_pts = None  # inline base rows maintained during the build
         # deterministic level RNG (hnsw.rs:24-30)
         self._rng = np.random.RandomState(rng_seed(self.opts))
         self._ml = 1.0 / math.log(max(2, self.opts.connections))
@@ -287,6 +289,14 @@ class HNSWBuilder:
             self.points = jnp.zeros(
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
             )
+            from .nsw import NSWBuilder
+
+            if NSWBuilder._inline_build_fits(self, sample):
+                self.adj_pts = jnp.zeros(
+                    (self.opts.size, self.opts.max_connections,
+                     *sample.shape[1:]),
+                    dtype=sample.dtype,
+                )
 
     def add(self, point) -> None:
         self.extend(np.asarray(point)[None])
@@ -366,12 +376,16 @@ class HNSWBuilder:
         )
         self.points = jnp.asarray(pts_np)
         self.base = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
+        if self.adj_pts is not None:
+            from .nsw import _materialize_inline
+
+            self.adj_pts = _materialize_inline(self.points, self.base.adj)
         self.ep = 0
         self.n = warm
         return warm
 
     def build(self) -> HNSW:
-        return HNSW(
+        h = HNSW(
             self.points,
             self.n,
             self.base,
@@ -381,6 +395,10 @@ class HNSWBuilder:
             self.metric,
             self.opts,
         )
+        if self.adj_pts is not None:
+            h.adj_pts = self.adj_pts
+            h.enable_inline()  # fills the level inline rows too
+        return h
 
     # -- the chunk insert ------------------------------------------------------
     def _insert_chunk(self, chunk: np.ndarray, level: int | None = None):
@@ -559,7 +577,7 @@ class HNSWBuilder:
             sel_np = _pad_rows(sel_np, cp)
             sel_np[c:] = -1
         lv = self.levels[l]
-        g = _build.apply_inserts(
+        g, _ = _build.apply_inserts(
             self.points,
             lv.node_ids,
             lv.graph,
@@ -571,47 +589,50 @@ class HNSWBuilder:
         self.levels[l] = Level(lv.node_ids, lv.down, g)
 
     def _insert_graph(self, _lv, chunk, new_ids_j, eps_j, is_base: bool):
+        """Base-layer insert: device-resident windowed search + one
+        mutation (see NSWBuilder._insert_chunk for the rationale)."""
         assert is_base
         c = chunk.shape[0]
         S = 1 if c == 1 else self.opts.batch_size
+        cp = -(-c // S) * S
+        qj = jnp.asarray(_pad_rows(np.asarray(chunk), cp))
+        if cp != c:
+            eps_full = jnp.concatenate(
+                [eps_j, jnp.zeros((cp - c,), jnp.int32)]
+            )
+        else:
+            eps_full = eps_j
+
         sel_parts = []
-        for s in range(0, c, S):
-            q = chunk[s : s + S]
-            b = q.shape[0]
-            bp = S
-            valid = np.zeros((bp,), bool)
-            valid[:b] = True
-            ep_slice = eps_j[s : s + b]
-            if bp != b:
-                ep_slice = jnp.concatenate(
-                    [ep_slice, jnp.zeros((bp - b,), jnp.int32)]
-                )
-            sel_ids, _ = _build.search_select(
+        for s in range(0, cp, S):
+            sel_ids, _ = _build.search_select_window(
                 self.points,
                 self._node_map,
                 self.base.adj,
-                jnp.asarray(_pad_rows(q, bp)),
-                jnp.asarray(valid),
-                ep_slice,
+                qj,
+                eps_full,
+                jnp.int32(s),
+                jnp.int32(c),
+                self.adj_pts,
+                S=S,
                 efc=self.opts.ef_construction,
                 m=self.opts.connections,
                 metric_name=self.metric.name,
                 expand=self.opts.expand,
             )
-            sel_parts.append(np.asarray(sel_ids)[:b])
-        sel_rows = np.concatenate(sel_parts, axis=0)
-        new_ids = np.asarray(new_ids_j).astype(np.int32)
-        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
-        if cp != c:
-            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
-            sel_rows = _pad_rows(sel_rows, cp)
-            sel_rows[c:] = -1
-        self.base = _build.apply_inserts(
+            sel_parts.append(sel_ids)
+        sel_rows = sel_parts[0] if len(sel_parts) == 1 else jnp.concatenate(
+            sel_parts, axis=0
+        )
+        new_ids = np.full((cp,), -1, np.int32)
+        new_ids[:c] = np.asarray(new_ids_j).astype(np.int32)
+        self.base, self.adj_pts = _build.apply_inserts(
             self.points,
             self._node_map,
             self.base,
             jnp.asarray(new_ids),
-            jnp.asarray(sel_rows),
+            sel_rows,
+            self.adj_pts,
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )

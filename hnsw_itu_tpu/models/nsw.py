@@ -198,13 +198,31 @@ class NSWBuilder:
         self.points = None  # allocated on first extend
         self.graph = make_graph(self.opts.size, self.opts.max_connections)
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
+        self.adj_pts = None  # inline rows maintained during the build
 
     # -- allocation ---------------------------------------------------------
+    def _inline_build_fits(self, sample: np.ndarray) -> bool:
+        words = int(np.prod(sample.shape[1:]))
+        bytes_needed = (
+            self.opts.size * self.opts.max_connections * words
+            * sample.dtype.itemsize
+        )
+        return bytes_needed <= int(
+            float(__import__("os").environ.get(
+                "HNSW_TPU_INLINE_BUILD_BYTES", 8e9))
+        )
+
     def _ensure_points(self, sample: np.ndarray):
         if self.points is None:
             self.points = jnp.zeros(
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
             )
+            if self._inline_build_fits(sample):
+                self.adj_pts = jnp.zeros(
+                    (self.opts.size, self.opts.max_connections,
+                     *sample.shape[1:]),
+                    dtype=sample.dtype,
+                )
 
     # -- IndexBuilder parity ---------------------------------------------------
     def add(self, point) -> None:
@@ -261,15 +279,24 @@ class NSWBuilder:
         )
         self.points = jnp.asarray(pts_np)
         self.graph = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
+        if self.adj_pts is not None:
+            self.adj_pts = _materialize_inline(self.points, self.graph.adj)
         self.ep = 0
         self.n = warm
         return warm
 
     def build(self) -> NSW:
-        return NSW(self.points, self.n, self.graph, self.ep, self.metric, self.opts)
+        nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
+                  self.opts)
+        nsw.adj_pts = self.adj_pts  # inline rows carry over to queries
+        return nsw
 
     # -- internals ------------------------------------------------------------
     def _insert_chunk(self, chunk: np.ndarray):
+        """One bulk-synchronous round. The whole loop is device-resident:
+        one upload, one entry block, K windowed searches, one mutation —
+        no per-window host transfers (each eager op on the remote backend
+        costs a tunnel round trip)."""
         c = chunk.shape[0]
         if self.n + c > self.opts.size:
             raise ValueError("index capacity exceeded; raise IndexOptions.size")
@@ -288,56 +315,49 @@ class NSWBuilder:
             if c == 0:
                 return
 
-        # constant sub-batch shape: pad every slice to batch_size so the
-        # search compiles exactly once per (efc, m) — sequential (c=1)
-        # inserts keep their own tiny shape
         S = 1 if c == 1 else self.opts.batch_size
+        cp = -(-c // S) * S
+        qj = jnp.asarray(_pad_rows(chunk, cp))
+        if self.opts.entry_sample > 0 and n0 > self.opts.entry_sample:
+            eps_full = _build.entry_step(
+                self.points, qj, jnp.int32(n0),
+                sample_size=self.opts.entry_sample,
+                metric_name=self.metric.name,
+            )
+        else:
+            eps_full = jnp.asarray(np.full((cp,), self.ep, np.int32))
+
         sel_parts = []
-        for s in range(0, c, S):
-            q = chunk[s : s + S]
-            b = q.shape[0]
-            bp = S
-            qb = _pad_rows(q, bp)
-            valid = np.zeros((bp,), bool)
-            valid[:b] = True
-            qj = jnp.asarray(qb)
-            if self.opts.entry_sample > 0 and n0 > self.opts.entry_sample:
-                eps = _build.entry_step(
-                    self.points, qj, jnp.int32(n0),
-                    sample_size=self.opts.entry_sample,
-                    metric_name=self.metric.name,
-                )
-            else:
-                eps = jnp.full((bp,), self.ep, jnp.int32)
-            sel_ids, _ = _build.search_select(
+        for s in range(0, cp, S):
+            sel_ids, _ = _build.search_select_window(
                 self.points,
                 self._node_map,
                 self.graph.adj,
                 qj,
-                jnp.asarray(valid),
-                eps,
+                eps_full,
+                jnp.int32(s),
+                jnp.int32(c),
+                self.adj_pts,
+                S=S,
                 efc=self.opts.ef_construction,
                 m=self.opts.connections,
                 metric_name=self.metric.name,
                 expand=self.opts.expand,
             )
-            sel_parts.append(np.asarray(sel_ids)[:b])
-        sel_rows = np.concatenate(sel_parts, axis=0)
+            sel_parts.append(sel_ids)
+        sel_rows = sel_parts[0] if len(sel_parts) == 1 else jnp.concatenate(
+            sel_parts, axis=0
+        )
 
-        new_ids = n0 + np.arange(c, dtype=np.int32)
-        # bucket the mutation shape: pow2 with a floor, so only a handful of
-        # apply_inserts variants ever compile
-        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
-        if cp != c:
-            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
-            sel_rows = _pad_rows(sel_rows, cp)
-            sel_rows[c:] = -1
-        self.graph = _build.apply_inserts(
+        new_ids = n0 + np.arange(cp, dtype=np.int32)
+        new_ids[c:] = -1
+        self.graph, self.adj_pts = _build.apply_inserts(
             self.points,
             self._node_map,
             self.graph,
             jnp.asarray(new_ids),
-            jnp.asarray(sel_rows),
+            sel_rows,
+            self.adj_pts,
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
