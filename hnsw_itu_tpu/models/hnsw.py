@@ -432,10 +432,23 @@ class HNSWBuilder:
     def _insert_registered(self, chunk: np.ndarray, base_ids: np.ndarray,
                            level: int):
         """Insert already-written points (ids = their base rows) at the
-        given level."""
+        given level.
+
+        Shapes are bucketed up-front (pow2, floor 256): per-level group
+        sizes are random, and every novel shape costs a fresh remote
+        compile on this backend. Padding rows carry base_id -1 and are
+        masked out of every mutation; level slots they scribble on are
+        overwritten by the next real group.
+        """
         c = chunk.shape[0]
         if c == 0:
             return
+        if c > 1:
+            cpad = max(256, 1 << (c - 1).bit_length())
+            chunk = _pad_rows(np.asarray(chunk), cpad)
+            base_ids = np.concatenate(
+                [base_ids, np.full((cpad - c,), -1, np.int32)]
+            ).astype(np.int32)
 
         # Snapshot the pre-chunk hierarchy: this chunk's descent and inserts
         # must start from the OLD entry point / layers. (The reference
@@ -453,14 +466,17 @@ class HNSWBuilder:
             self.level_ns.append(0)
             new_ep = True
 
+        cpad = chunk.shape[0]
+
         # add chunk slots to levels[0..level) — node registration before any
-        # search, like hnsw.rs:73-87
-        slots = []  # local id arrays per level occupied
+        # search, like hnsw.rs:73-87 (padding rows scribble past level_ns
+        # and are overwritten by the next group)
+        slots = []  # local id arrays per level occupied (padded length)
         for l in range(level):
             nl = self.level_ns[l]
-            self._grow_level(l, nl + c)
+            self._grow_level(l, nl + cpad)
             lv = self.levels[l]
-            loc = nl + np.arange(c, dtype=np.int32)
+            loc = nl + np.arange(cpad, dtype=np.int32)
             below = base_ids if l == 0 else slots[l - 1]
             self.levels[l] = Level(
                 node_ids=lv.node_ids.at[loc].set(jnp.asarray(base_ids)),
@@ -489,14 +505,12 @@ class HNSWBuilder:
                 sample_size=self.opts.entry_sample,
                 metric_name=self.metric.name,
             )
-            self._insert_graph(
-                None, chunk, jnp.asarray(base_ids), eps_j, is_base=True
-            )
+            self._insert_graph(chunk, base_ids, eps_j, n_valid=c)
             return
 
-        eps_j = jnp.full((c,), ep_old, jnp.int32)
+        eps_j = jnp.full((cpad,), ep_old, jnp.int32)
         for l in range(L_old - 1, level - 1, -1):
-            eps_j = self._descend_level(l, chunk, eps_j)
+            eps_j = self._descend_level(l, chunk, eps_j, c)
 
         # -- insert top->down through occupied levels (hnsw.rs:111-139).
         #    Brand-new layers (l >= L_old) contain only this chunk: enter at
@@ -505,106 +519,98 @@ class HNSWBuilder:
         #    untouched.
         for l in range(level - 1, -1, -1):
             if l >= L_old:
-                entry = jnp.full((c,), int(slots[l][0]), jnp.int32)
-                self._insert_level(l, chunk, slots[l], entry)
+                entry = jnp.full((cpad,), int(slots[l][0]), jnp.int32)
+                self._insert_level(l, chunk, slots[l], entry, c)
             else:
-                eps_j = self._insert_level(l, chunk, slots[l], eps_j)
+                eps_j = self._insert_level(l, chunk, slots[l], eps_j, c)
 
         # -- base layer (hnsw.rs:142-167)
-        self._insert_graph(
-            None, chunk, jnp.asarray(base_ids), eps_j, is_base=True
-        )
+        self._insert_graph(chunk, base_ids, eps_j, n_valid=c)
 
     # -- helpers ---------------------------------------------------------------
-    def _descend_level(self, l: int, chunk: np.ndarray, eps_j):
+    # chunk arrays arrive bucket-padded; n_valid is the real row count.
+
+    def _descend_level(self, l: int, chunk: np.ndarray, eps_j, n_valid: int):
         lv = self.levels[l]
-        sel, _ = self._search_select_level(lv, chunk, eps_j, m=1, efc=1)
+        sel, _ = self._search_select_level(
+            lv, chunk, eps_j, m=1, efc=1, n_valid=n_valid
+        )
         local = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
         return lv.down[local]
 
-    def _search_select_level(self, lv: Level, chunk, eps_j, m, efc):
-        c = chunk.shape[0]
-        S = 1 if c == 1 else self.opts.batch_size
-        outs = []
-        for s in range(0, c, S):
-            q = chunk[s : s + S]
-            b = q.shape[0]
-            bp = S
-            valid = np.zeros((bp,), bool)
-            valid[:b] = True
-            ep_slice = eps_j[s : s + b]
-            if bp != b:
-                ep_slice = jnp.concatenate(
-                    [ep_slice, jnp.zeros((bp - b,), jnp.int32)]
-                )
-            sel_ids, sel_d = _build.search_select(
+    def _search_select_level(self, lv: Level, chunk, eps_j, m, efc, n_valid):
+        cpad = chunk.shape[0]
+        S = 1 if cpad == 1 else min(self.opts.batch_size, cpad)
+        qj = jnp.asarray(np.asarray(chunk))
+        outs_i, outs_d = [], []
+        for s in range(0, cpad, S):
+            sel_ids, sel_d = _build.search_select_window(
                 self.points,
                 lv.node_ids,
                 lv.graph.adj,
-                jnp.asarray(_pad_rows(q, bp)),
-                jnp.asarray(valid),
-                ep_slice,
+                qj,
+                eps_j,
+                jnp.int32(s),
+                jnp.int32(n_valid),
+                None,
+                S=S,
                 efc=efc,
                 m=m,
                 metric_name=self.metric.name,
                 expand=self.opts.expand,
             )
-            outs.append((sel_ids[:b], sel_d[:b]))
-        sel_ids = jnp.concatenate([o[0] for o in outs])
-        sel_d = jnp.concatenate([o[1] for o in outs])
-        return sel_ids, sel_d
+            outs_i.append(sel_ids)
+            outs_d.append(sel_d)
+        if len(outs_i) == 1:
+            return outs_i[0], outs_d[0]
+        return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
 
-    def _insert_level(self, l: int, chunk, loc: np.ndarray, eps_j):
+    def _insert_level(self, l: int, chunk, loc: np.ndarray, eps_j, n_valid):
         lv = self.levels[l]
         sel, _ = self._search_select_level(
-            lv, chunk, eps_j, m=self.opts.connections, efc=self.opts.ef_construction
+            lv, chunk, eps_j, m=self.opts.connections,
+            efc=self.opts.ef_construction, n_valid=n_valid,
         )
         # never link a node to itself (reachable only when this chunk seeded
         # a brand-new layer and searched from its own first slot)
         sel = jnp.where(sel == jnp.asarray(loc.astype(np.int32))[:, None], -1, sel)
-        self._apply_level(l, loc, sel)
+        self._apply_level(l, loc, sel, n_valid)
         lv = self.levels[l]
         nearest = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
         return lv.down[nearest]
 
-    def _apply_level(self, l: int, loc: np.ndarray, sel):
-        c = loc.shape[0]
-        cp = max(512, 1 << (c - 1).bit_length()) if c > 1 else 1
-        new_ids = loc.astype(np.int32)
-        sel_np = np.asarray(sel)
-        if cp != c:
-            new_ids = np.concatenate([new_ids, np.full((cp - c,), -1, np.int32)])
-            sel_np = _pad_rows(sel_np, cp)
-            sel_np[c:] = -1
+    def _apply_level(self, l: int, loc: np.ndarray, sel, n_valid):
+        cpad = loc.shape[0]
+        new_ids = loc.astype(np.int32).copy()
+        new_ids[n_valid:] = -1
         lv = self.levels[l]
         g, _ = _build.apply_inserts(
             self.points,
             lv.node_ids,
             lv.graph,
             jnp.asarray(new_ids),
-            jnp.asarray(sel_np),
+            sel,
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
         self.levels[l] = Level(lv.node_ids, lv.down, g)
 
-    def _insert_graph(self, _lv, chunk, new_ids_j, eps_j, is_base: bool):
+    def _insert_graph(self, chunk, base_ids: np.ndarray, eps_j, n_valid: int):
         """Base-layer insert: device-resident windowed search + one
-        mutation (see NSWBuilder._insert_chunk for the rationale)."""
-        assert is_base
-        c = chunk.shape[0]
-        S = 1 if c == 1 else self.opts.batch_size
-        cp = -(-c // S) * S
-        qj = jnp.asarray(_pad_rows(np.asarray(chunk), cp))
-        if cp != c:
-            eps_full = jnp.concatenate(
-                [eps_j, jnp.zeros((cp - c,), jnp.int32)]
-            )
-        else:
-            eps_full = eps_j
+        mutation (see NSWBuilder._insert_chunk for the rationale).
+        ``chunk``/``base_ids``/``eps_j`` arrive bucket-padded."""
+        cp = chunk.shape[0]
+        S = 1 if cp == 1 else min(self.opts.batch_size, cp)
+        qj = jnp.asarray(np.asarray(chunk))
+        eps_full = eps_j
 
         sel_parts = []
         for s in range(0, cp, S):
+            if s >= n_valid:  # window past the real rows: nothing to search
+                sel_parts.append(
+                    np.full((S, self.opts.connections), -1, np.int32)
+                )
+                continue
             sel_ids, _ = _build.search_select_window(
                 self.points,
                 self._node_map,
@@ -612,7 +618,7 @@ class HNSWBuilder:
                 qj,
                 eps_full,
                 jnp.int32(s),
-                jnp.int32(c),
+                jnp.int32(n_valid),
                 self.adj_pts,
                 S=S,
                 efc=self.opts.ef_construction,
@@ -624,8 +630,8 @@ class HNSWBuilder:
         sel_rows = sel_parts[0] if len(sel_parts) == 1 else jnp.concatenate(
             sel_parts, axis=0
         )
-        new_ids = np.full((cp,), -1, np.int32)
-        new_ids[:c] = np.asarray(new_ids_j).astype(np.int32)
+        new_ids = np.asarray(base_ids).astype(np.int32).copy()
+        new_ids[n_valid:] = -1
         self.base, self.adj_pts = _build.apply_inserts(
             self.points,
             self._node_map,

@@ -329,6 +329,11 @@ class NSWBuilder:
 
         sel_parts = []
         for s in range(0, cp, S):
+            if s >= c:  # window past the real rows
+                sel_parts.append(
+                    np.full((S, self.opts.connections), -1, np.int32)
+                )
+                continue
             sel_ids, _ = _build.search_select_window(
                 self.points,
                 self._node_map,
