@@ -165,7 +165,9 @@ def beam_search(
         else:
             # -- visited-free: distances for all candidates, then dedup by
             #    id inside the merge (keep the expanded copy so nothing is
-            #    re-expanded while it stays in the beam)
+            #    re-expanded while it stays in the beam). A two-sort merge
+            #    measures faster than broadcast-compare dedup on TPU (the
+            #    vmapped [B,C,C] compare materializes too much).
             if get_nbr_pts is not None:
                 pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
                 pts = pts.reshape(C, *pts.shape[2:])

@@ -14,8 +14,7 @@ def enable(cache_dir: str | None = None) -> None:
     import jax
 
     d = cache_dir or os.environ.get(
-        "HNSW_TPU_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/hnsw_itu_tpu/xla"),
+        "HNSW_TPU_COMPILE_CACHE", os.path.expanduser("~/.jax_cache")
     )
     os.makedirs(d, exist_ok=True)
     try:
