@@ -73,6 +73,11 @@ class Metric:
     def inf(self):
         return INT32_INF
 
+    def max_distance(self, q) -> int | None:
+        """Static upper bound on distances for this query shape, or None if
+        unbounded (enables packed (distance, id) sort keys)."""
+        return None
+
     def one_to_many(self, q: jax.Array, pts: jax.Array) -> jax.Array:
         raise NotImplementedError
 
@@ -97,6 +102,9 @@ class Hamming(Metric):
 
     def __init__(self):
         super().__init__(name="hamming")
+
+    def max_distance(self, q) -> int:
+        return int(q.shape[-1]) * 32
 
     def one_to_many(self, q, pts):
         return _popcount_sum(jnp.bitwise_xor(pts, q))

@@ -91,6 +91,16 @@ def beam_search(
     """
     if get_nbr_pts is not None and dedup != "beam":
         raise ValueError("inline neighbor points require dedup='beam'")
+    if dedup == "beam":
+        max_d = metric.max_distance(q)
+        if max_d is not None:
+            id_bits = max(1, (capacity - 1).bit_length())
+            if id_bits + (max_d + 1).bit_length() <= 31:
+                return _beam_search_packed(
+                    get_points, adj, q, ep, ef=ef, metric=metric,
+                    capacity=capacity, expand=expand, max_steps=max_steps,
+                    get_nbr_pts=get_nbr_pts, max_d=max_d, id_bits=id_bits,
+                )
     inf = metric.inf
     W = adj.shape[1]
     E = expand
@@ -204,6 +214,104 @@ def beam_search(
         cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(1), jnp.int32(0))
     )
     return SearchResult(beam_d, beam_i, n_visited, steps)
+
+
+def _beam_search_packed(
+    get_points,
+    adj,
+    q,
+    ep,
+    *,
+    ef,
+    metric,
+    capacity,
+    expand,
+    max_steps,
+    get_nbr_pts,
+    max_d,
+    id_bits,
+) -> SearchResult:
+    """Beam search with (distance, id) packed into ONE int32 sort key —
+    ``key = (d << id_bits) | id``. The packed order equals the reference's
+    (distance, key) order (mod.rs:90-96), the beam carry shrinks to
+    (key, expanded), and every bitonic sort moves half the operands.
+    Applicable when the metric has a static distance bound (Hamming:
+    words*32) and dist_bits + id_bits <= 31.
+    """
+    E = expand
+    W = adj.shape[1]
+    C = E * W
+    SHIFT = jnp.int32(1 << id_bits)
+    MASK = jnp.int32((1 << id_bits) - 1)
+    KEY_INF = jnp.int32((max_d + 1) << id_bits)
+
+    ep = jnp.asarray(ep, jnp.int32)
+    d_ep = metric.one_to_many(q, get_points(ep[None]))[0].astype(jnp.int32)
+    bk0 = jnp.full((ef,), KEY_INF, jnp.int32).at[0].set(
+        (d_ep << id_bits) | ep
+    )
+    bx0 = jnp.zeros((ef,), bool)
+
+    def cond(state):
+        bk, bx, nvis, step = state
+        frontier = (~bx) & (bk <= bk[ef - 1]) & (bk < KEY_INF)
+        return (step < max_steps) & jnp.any(frontier)
+
+    def body(state):
+        bk, bx, nvis, step = state
+
+        unexp_rank = jnp.cumsum((~bx).astype(jnp.int32)) - 1
+        sel_mask = (~bx) & (unexp_rank < E) & (bk < KEY_INF)
+        pos_score = jnp.where(sel_mask, jnp.arange(ef), ef + 1)
+        neg_top, _ = jax.lax.top_k(-pos_score, E)
+        sel_pos = -neg_top
+        sel_ok = sel_pos < ef
+        sel_pos_c = jnp.clip(sel_pos, 0, ef - 1)
+        bx = bx.at[sel_pos].set(True, mode="drop")
+        sel_keys = bk[sel_pos_c]
+        sel_ids = jnp.where(
+            sel_ok & (sel_keys < KEY_INF), sel_keys & MASK, ID_INF
+        )
+
+        nbr = adj[jnp.clip(sel_ids, 0, capacity - 1)]
+        nbr = jnp.where((nbr >= 0) & (sel_ids != ID_INF)[:, None], nbr, -1)
+        nid = nbr.reshape(C)
+
+        if get_nbr_pts is not None:
+            pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
+            pts = pts.reshape(C, *pts.shape[2:])
+        else:
+            pts = get_points(jnp.clip(nid, 0, capacity - 1))
+        cd = metric.one_to_many(q, pts).astype(jnp.int32)
+        ck = jnp.where(nid >= 0, (cd << id_bits) | nid, KEY_INF)
+
+        mk = jnp.concatenate([bk, ck])
+        mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
+        is_cand = jnp.concatenate(
+            [jnp.zeros((ef,), bool), jnp.ones((C,), bool)]
+        )
+        # equal id => equal distance => equal key: dedup on the packed key,
+        # keeping the expanded copy first
+        notx = (~mx).astype(jnp.int32)
+        mk, notx, mx, is_cand = jax.lax.sort(
+            (mk, notx, mx, is_cand), num_keys=2
+        )
+        dup = jnp.concatenate([jnp.zeros((1,), bool), mk[1:] == mk[:-1]])
+        nvis = nvis + jnp.sum(
+            ((~dup) & is_cand & (mk < KEY_INF)).astype(jnp.int32)
+        )
+        mk = jnp.where(dup, KEY_INF, mk)
+        mx = jnp.where(dup, False, mx)
+        mk, mx = jax.lax.sort((mk, mx), num_keys=1)
+        return mk[:ef], mx[:ef], nvis, step + 1
+
+    bk, bx, n_visited, steps = jax.lax.while_loop(
+        cond, body, (bk0, bx0, jnp.int32(1), jnp.int32(0))
+    )
+    valid = bk < KEY_INF
+    dists = jnp.where(valid, bk >> id_bits, metric.inf)
+    ids = jnp.where(valid, bk & MASK, ID_INF)
+    return SearchResult(dists, ids, n_visited, steps)
 
 
 def greedy_search(get_points, adj, q, ep, *, metric, capacity, max_steps=512):
