@@ -76,6 +76,9 @@ def main():
     # timed query runs (first run includes compile; take best of 2 after)
     index.query_batch = 8192
     index.query_entry_sample = 1024
+    # cap the lockstep tail: mean convergence is ~12 steps; stragglers past
+    # ef steps contribute no recall (measured) but gate the whole batch
+    index.max_steps = EF
     index.enable_inline()
     index.knns(qs[:8192], K, EF)  # compile
     best = float("inf")
