@@ -152,8 +152,12 @@ def apply_inserts(
     deg_before = graph.deg
     graph = set_rows(graph, new_ids, rows)
     if adj_pts is not None:
+        # adj_pts rows are FLAT [cap, W*words] (TPU-friendly trailing dim)
+        n_new = rows.shape[0]
         safe_new = jnp.where(new_ids >= 0, new_ids, cap)
-        adj_pts = adj_pts.at[safe_new].set(pts_of(rows), mode="drop")
+        adj_pts = adj_pts.at[safe_new].set(
+            pts_of(rows).reshape(n_new, -1), mode="drop"
+        )
 
     # reverse edges, grouped append
     c, m = sel_rows.shape
@@ -164,9 +168,11 @@ def apply_inserts(
     graph = res.graph
     if adj_pts is not None:
         row_t = jnp.where(res.written, res.targets, cap)
-        adj_pts = adj_pts.at[row_t, res.cols].set(
-            pts_of(res.sources), mode="drop"
-        )
+        src_pts = pts_of(res.sources)
+        src_flat = src_pts.reshape(src_pts.shape[0], -1)
+        words = src_flat.shape[1]
+        col0 = res.cols[:, None] * words + jnp.arange(words)[None, :]
+        adj_pts = adj_pts.at[row_t[:, None], col0].set(src_flat, mode="drop")
 
     # budgeted degree-cap prune of overfull receivers (nsw.rs:105-130)
     demand = deg_before + res.incoming[:cap]
@@ -182,7 +188,10 @@ def apply_inserts(
     graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
     if adj_pts is not None:
         safe_t = jnp.where(prune_ids >= 0, prune_ids, cap)
-        adj_pts = adj_pts.at[safe_t].set(pts_of(graph.adj[safe]), mode="drop")
+        new_rows = pts_of(graph.adj[safe])
+        adj_pts = adj_pts.at[safe_t].set(
+            new_rows.reshape(new_rows.shape[0], -1), mode="drop"
+        )
     return graph, adj_pts
 
 

@@ -292,9 +292,9 @@ class HNSWBuilder:
             from .nsw import NSWBuilder
 
             if NSWBuilder._inline_build_fits(self, sample):
+                words = int(np.prod(sample.shape[1:]))
                 self.adj_pts = jnp.zeros(
-                    (self.opts.size, self.opts.max_connections,
-                     *sample.shape[1:]),
+                    (self.opts.size, self.opts.max_connections * words),
                     dtype=sample.dtype,
                 )
 

@@ -95,7 +95,13 @@ def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
 
 @jax.jit
 def _materialize_inline(points, adj):
-    return points[jnp.clip(adj, 0, points.shape[0] - 1)]
+    """Inline neighbor rows, stored FLAT [cap, W*words]: a trailing dim of
+    W*words (e.g. 64*32 = 2048 = 16 lane tiles) keeps the natural TPU
+    layout; a 3-D [cap, W, words] layout pads 2x and forces whole-table
+    relayout copies (measured: 15GB copy + OOM at 1M x 64 x 32)."""
+    cap, W = adj.shape
+    g = points[jnp.clip(adj, 0, points.shape[0] - 1)]
+    return g.reshape(cap, -1)
 
 
 class NSW:
@@ -218,9 +224,9 @@ class NSWBuilder:
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
             )
             if self._inline_build_fits(sample):
+                words = int(np.prod(sample.shape[1:]))
                 self.adj_pts = jnp.zeros(
-                    (self.opts.size, self.opts.max_connections,
-                     *sample.shape[1:]),
+                    (self.opts.size, self.opts.max_connections * words),
                     dtype=sample.dtype,
                 )
 

@@ -179,8 +179,9 @@ def beam_search(
             #    measures faster than broadcast-compare dedup on TPU (the
             #    vmapped [B,C,C] compare materializes too much).
             if get_nbr_pts is not None:
+                # inline rows arrive FLAT [E, W*words]; unflatten to points
                 pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
-                pts = pts.reshape(C, *pts.shape[2:])
+                pts = pts.reshape(C, *q.shape)
             else:
                 pts = get_points(jnp.clip(nid, 0, capacity - 1))
             cd = metric.one_to_many(q, pts)
@@ -278,8 +279,9 @@ def _beam_search_packed(
         nid = nbr.reshape(C)
 
         if get_nbr_pts is not None:
+            # inline rows arrive FLAT [E, W*words]; unflatten to points
             pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
-            pts = pts.reshape(C, *pts.shape[2:])
+            pts = pts.reshape(C, *q.shape)
         else:
             pts = get_points(jnp.clip(nid, 0, capacity - 1))
         cd = metric.one_to_many(q, pts).astype(jnp.int32)
