@@ -215,7 +215,7 @@ class NSWBuilder:
         )
         return bytes_needed <= int(
             float(__import__("os").environ.get(
-                "HNSW_TPU_INLINE_BUILD_BYTES", 8e9))
+                "HNSW_TPU_INLINE_BUILD_BYTES", 1.2e10))
         )
 
     def _ensure_points(self, sample: np.ndarray):
