@@ -98,10 +98,25 @@ def _materialize_inline(points, adj):
     """Inline neighbor rows, stored FLAT [cap, W*words]: a trailing dim of
     W*words (e.g. 64*32 = 2048 = 16 lane tiles) keeps the natural TPU
     layout; a 3-D [cap, W, words] layout pads 2x and forces whole-table
-    relayout copies (measured: 15GB copy + OOM at 1M x 64 x 32)."""
+    relayout copies (measured: 15GB copy + OOM at 1M x 64 x 32).
+
+    Tiled: the naive one-shot gather materializes a [cap*W, words]
+    intermediate whose narrow lane dim pads 4x (32GB at 1M)."""
     cap, W = adj.shape
-    g = points[jnp.clip(adj, 0, points.shape[0] - 1)]
-    return g.reshape(cap, -1)
+    words = int(np.prod(points.shape[1:]))
+    tile = max(1, min(cap, 16384))
+    n_tiles = -(-cap // tile)
+    out = jnp.zeros((cap, W * words), points.dtype)
+
+    def body(i, out):
+        start = i * tile  # dynamic_slice clamps the tail tile (overlap ok)
+        a = jax.lax.dynamic_slice_in_dim(adj, start, tile, 0)
+        g = points[jnp.clip(a, 0, points.shape[0] - 1)]
+        return jax.lax.dynamic_update_slice(
+            out, g.reshape(tile, W * words), (start, 0)
+        )
+
+    return jax.lax.fori_loop(0, n_tiles, body, out)
 
 
 class NSW:
