@@ -385,11 +385,24 @@ class HNSWBuilder:
         return warm
 
     def build(self) -> HNSW:
+        # shrink level arrays from build capacity (generous, pow2 of the
+        # expectation) to a snug pow2 of the actual node count — the level
+        # inline rows would otherwise cost capacity x 8KB each
+        trimmed = []
+        for lv, nl in zip(self.levels, self.level_ns):
+            m = max(8, 1 << max(0, (nl - 1).bit_length()))
+            if m < lv.node_ids.shape[0]:
+                lv = Level(
+                    node_ids=lv.node_ids[:m],
+                    down=lv.down[:m],
+                    graph=GraphArrays(lv.graph.adj[:m], lv.graph.deg[:m]),
+                )
+            trimmed.append(lv)
         h = HNSW(
             self.points,
             self.n,
             self.base,
-            self.levels,
+            trimmed,
             self.level_ns,
             self.ep,
             self.metric,
