@@ -409,7 +409,13 @@ class HNSWBuilder:
             self.opts,
         )
         if self.adj_pts is not None:
-            h.adj_pts = self.adj_pts
+            # free the builder's scatter-chain copy first, then rebuild
+            # fresh (layout + peak-memory; see NSWBuilder.build)
+            from .nsw import _materialize_inline
+
+            self.adj_pts.delete()
+            self.adj_pts = None
+            h.adj_pts = _materialize_inline(h.points, h.base.adj)
             h.enable_inline()  # fills the level inline rows too
         return h
 

@@ -309,7 +309,14 @@ class NSWBuilder:
     def build(self) -> NSW:
         nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
                   self.opts)
-        nsw.adj_pts = self.adj_pts  # inline rows carry over to queries
+        if self.adj_pts is not None:
+            # free the builder's scatter-chain copy FIRST (its layout is the
+            # mutation executable's preference; a query executable may want
+            # another and would temp-copy the whole array), then rebuild
+            # fresh from points+adj — peak memory stays at one copy
+            self.adj_pts.delete()
+            self.adj_pts = None
+            nsw.adj_pts = _materialize_inline(nsw.points, nsw.graph.adj)
         return nsw
 
     # -- internals ------------------------------------------------------------
