@@ -170,9 +170,9 @@ class HNSW:
         """Materialize inline neighbor points: [cap, W, words] contiguous
         rows for the base layer AND every level (levels are small), so each
         expansion is one sequential read instead of W random 128B gathers."""
-        from .nsw import _materialize_inline
+        from .nsw import _inline_query_fits, _materialize_inline
 
-        if self.adj_pts is None:
+        if self.adj_pts is None and _inline_query_fits(self.points, self.base.adj):
             self.adj_pts = _materialize_inline(self.points, self.base.adj)
         if self.level_adj_pts is None:
             self.level_adj_pts = tuple(
@@ -409,10 +409,11 @@ class HNSWBuilder:
             self.opts,
         )
         if self.adj_pts is not None:
-            # free the builder's scatter-chain copy first, then rebuild
-            # fresh (layout + peak-memory; see NSWBuilder.build)
+            # drain the async build queue, then free the scatter-chain copy
+            # and rebuild fresh (peak memory + layout; see NSWBuilder.build)
             from .nsw import _materialize_inline
 
+            np.asarray(self.base.deg[:1])
             self.adj_pts.delete()
             self.adj_pts = None
             h.adj_pts = _materialize_inline(h.points, h.base.adj)
@@ -661,3 +662,6 @@ class HNSWBuilder:
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
+        if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
+            # throttle queue-ahead dispatch (see NSWBuilder._insert_chunk)
+            np.asarray(self.base.deg[:1])

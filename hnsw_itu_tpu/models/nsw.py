@@ -93,6 +93,15 @@ def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
 
+def _inline_query_fits(points, adj) -> bool:
+    import os
+
+    words = int(np.prod(points.shape[1:]))
+    need = adj.shape[0] * adj.shape[1] * words * points.dtype.itemsize
+    return need <= int(float(os.environ.get(
+        "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+
+
 @jax.jit
 def _materialize_inline(points, adj):
     """Inline neighbor rows, stored FLAT [cap, W*words]: a trailing dim of
@@ -141,10 +150,12 @@ class NSW:
         return self.n
 
     def enable_inline(self) -> None:
-        """Materialize adj_pts ([cap, W, words] inline neighbor points) for
+        """Materialize adj_pts (flat inline neighbor rows) for
         sequential-read expansions. Costs W x points memory; pays off on
-        query throughput (HBM gathers of 128B rows are descriptor-bound)."""
-        if self.adj_pts is None:
+        query throughput (HBM gathers of 128B rows are descriptor-bound).
+        Queries are read-only (single copy), so the limit is higher than
+        the build-side one. No-op if it would not fit."""
+        if self.adj_pts is None and _inline_query_fits(self.points, self.graph.adj):
             self.adj_pts = _materialize_inline(self.points, self.graph.adj)
 
     def search(self, query, k: int, ef: int) -> KnnResult:
@@ -228,9 +239,12 @@ class NSWBuilder:
             self.opts.size * self.opts.max_connections * words
             * sample.dtype.itemsize
         )
+        # the (remote) runtime does not alias donated buffers, so each
+        # mutation transiently holds TWO generations of adj_pts: the build
+        # limit is half the query-side one
         return bytes_needed <= int(
             float(__import__("os").environ.get(
-                "HNSW_TPU_INLINE_BUILD_BYTES", 1.2e10))
+                "HNSW_TPU_INLINE_BUILD_BYTES", 6e9))
         )
 
     def _ensure_points(self, sample: np.ndarray):
@@ -310,10 +324,13 @@ class NSWBuilder:
         nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
                   self.opts)
         if self.adj_pts is not None:
-            # free the builder's scatter-chain copy FIRST (its layout is the
-            # mutation executable's preference; a query executable may want
-            # another and would temp-copy the whole array), then rebuild
-            # fresh from points+adj — peak memory stays at one copy
+            # drain the async build queue first: pending chunk steps still
+            # reference the old buffer and deleting/reallocating under them
+            # doubles peak memory (OOMs at 1M)
+            np.asarray(self.graph.deg[:1])
+            # free the builder's scatter-chain copy, then rebuild fresh from
+            # points+adj — peak memory stays at one copy and the fresh array
+            # carries the gather-preferred layout
             self.adj_pts.delete()
             self.adj_pts = None
             nsw.adj_pts = _materialize_inline(nsw.points, nsw.graph.adj)
@@ -394,3 +411,8 @@ class NSWBuilder:
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
+        if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
+            # throttle queue-ahead dispatch: with multi-GB inline buffers,
+            # letting many chunk mutations queue up accumulates donated
+            # output allocations and OOMs; one tiny fetch drains the queue
+            np.asarray(self.graph.deg[:1])
