@@ -20,7 +20,12 @@ Deviations (bulk-synchronous relaxations, documented):
     doesn't cover are dropped (the reference's own parallel build already
     relaxes insert ordering chunk-wide);
   * the unconditional post-prune re-add of the new edge (nsw.rs:129) is
-    subsumed: incoming ids participate in the prune's candidate set.
+    only partially subsumed: incoming ids that fit the target row DO
+    participate in the prune's candidate set, but reverse edges dropped by
+    ``append_reverse_edges`` because the target row was already full never
+    enter the row and are unconditionally lost (beyond the prune-budget
+    relaxation). ``apply_inserts`` counts these drops so builders can log
+    the rate.
 """
 
 from __future__ import annotations
@@ -134,7 +139,10 @@ def apply_inserts(
         with every mutation (forward rows, reverse appends, prunes) so
         construction searches can use the fast sequential-read path.
 
-    Returns (graph, adj_pts).
+    Returns (graph, adj_pts, n_dropped) where n_dropped counts reverse
+    edges lost because the target row was already full (they never enter
+    the row, so the prune pass cannot recover them — the measured price of
+    the batched relaxation of nsw.rs:129).
     """
     metric = get_metric(metric_name)
     cap, W = graph.adj.shape
@@ -166,6 +174,9 @@ def apply_inserts(
     targets = jnp.where((sources >= 0) & (targets >= 0), targets, -1)
     res = append_reverse_edges(graph, targets, sources)
     graph = res.graph
+    n_dropped = jnp.sum(
+        ((~res.written) & (res.targets < cap)).astype(jnp.int32)
+    )
     if adj_pts is not None:
         row_t = jnp.where(res.written, res.targets, cap)
         src_pts = pts_of(res.sources)
@@ -192,7 +203,7 @@ def apply_inserts(
         adj_pts = adj_pts.at[safe_t].set(
             new_rows.reshape(new_rows.shape[0], -1), mode="drop"
         )
-    return graph, adj_pts
+    return graph, adj_pts, n_dropped
 
 
 @functools.partial(

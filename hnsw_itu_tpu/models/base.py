@@ -49,6 +49,14 @@ class IndexOptions:
     # analogue of the reference's 50k sequential warmup (nsw.rs:234-235)
     host_warmup: int = 50_000
 
+    def __post_init__(self):
+        # chunk windows are sliced in fixed strides of batch_size; a
+        # non-power-of-two would make the final dynamic_slice window overlap
+        # and desync sel_rows from new_ids — round up to the next pow2
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.batch_size = 1 << (self.batch_size - 1).bit_length()
+
 
 def rng_seed(opts: IndexOptions) -> int:
     """Deterministic level-RNG seed derived from the build parameters —

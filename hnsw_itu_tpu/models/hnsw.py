@@ -248,9 +248,15 @@ class HNSWBuilder:
         self.level_ns: list[int] = []
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline base rows maintained during the build
+        self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
         # deterministic level RNG (hnsw.rs:24-30)
         self._rng = np.random.RandomState(rng_seed(self.opts))
         self._ml = 1.0 / math.log(max(2, self.opts.connections))
+
+    def total_edge_drops(self) -> int:
+        """Reverse edges lost to full rows across the whole build
+        (unrecoverable by the prune pass; see _build.apply_inserts)."""
+        return int(sum(int(np.asarray(d)) for d in self.edge_drops))
 
     # -- level machinery ------------------------------------------------------
     def _random_level(self) -> int:
@@ -604,7 +610,7 @@ class HNSWBuilder:
         new_ids = loc.astype(np.int32).copy()
         new_ids[n_valid:] = -1
         lv = self.levels[l]
-        g, _ = _build.apply_inserts(
+        g, _, dropped = _build.apply_inserts(
             self.points,
             lv.node_ids,
             lv.graph,
@@ -613,6 +619,7 @@ class HNSWBuilder:
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
+        self.edge_drops.append(dropped)
         self.levels[l] = Level(lv.node_ids, lv.down, g)
 
     def _insert_graph(self, chunk, base_ids: np.ndarray, eps_j, n_valid: int):
@@ -652,7 +659,7 @@ class HNSWBuilder:
         )
         new_ids = np.asarray(base_ids).astype(np.int32).copy()
         new_ids[n_valid:] = -1
-        self.base, self.adj_pts = _build.apply_inserts(
+        self.base, self.adj_pts, dropped = _build.apply_inserts(
             self.points,
             self._node_map,
             self.base,
@@ -662,6 +669,7 @@ class HNSWBuilder:
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
+        self.edge_drops.append(dropped)
         if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
             # throttle queue-ahead dispatch (see NSWBuilder._insert_chunk)
             np.asarray(self.base.deg[:1])

@@ -231,6 +231,12 @@ class NSWBuilder:
         self.graph = make_graph(self.opts.size, self.opts.max_connections)
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline rows maintained during the build
+        self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
+
+    def total_edge_drops(self) -> int:
+        """Reverse edges lost to full rows across the whole build
+        (unrecoverable by the prune pass; see _build.apply_inserts)."""
+        return int(sum(int(np.asarray(d)) for d in self.edge_drops))
 
     # -- allocation ---------------------------------------------------------
     def _inline_build_fits(self, sample: np.ndarray) -> bool:
@@ -401,7 +407,7 @@ class NSWBuilder:
 
         new_ids = n0 + np.arange(cp, dtype=np.int32)
         new_ids[c:] = -1
-        self.graph, self.adj_pts = _build.apply_inserts(
+        self.graph, self.adj_pts, dropped = _build.apply_inserts(
             self.points,
             self._node_map,
             self.graph,
@@ -411,6 +417,7 @@ class NSWBuilder:
             metric_name=self.metric.name,
             prune_budget=self.opts.prune_budget,
         )
+        self.edge_drops.append(dropped)  # device scalars, summed lazily
         if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
             # throttle queue-ahead dispatch: with multi-GB inline buffers,
             # letting many chunk mutations queue up accumulates donated

@@ -53,8 +53,10 @@ def load():
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO):
-            _build_lib()
+        # always invoke make: the Makefile's hnsw_host.cpp dependency makes
+        # this a no-op when the .so is fresh, rebuilds it after source edits,
+        # and recompiles for the local CPU (-march=native) on a new machine
+        _build_lib()
         lib = ctypes.CDLL(_SO)
         lib.hnsw_host_abi_version.restype = ctypes.c_int32
         if lib.hnsw_host_abi_version() != 1:

@@ -150,7 +150,7 @@ def sharded_build_step(
             expand=expand,
         )
         new_ids = jnp.where(valid, n + jnp.arange(c, dtype=jnp.int32), -1)
-        g, _ = _build.apply_inserts(
+        g, _, _ = _build.apply_inserts(
             points,
             node_map,
             GraphArrays(adj, deg),
