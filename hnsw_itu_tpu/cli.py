@@ -93,8 +93,22 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
             # host engine (exact reference semantics, one thread)
             opts.host_warmup = size
         b = builder_cls(opts, metric="hamming")
-        b.extend_batched(pts)
+
+        def progress(done, total=size, _last=[0]):
+            # build heartbeat every 100k rows with percent (main.rs:140-146)
+            if done - _last[0] >= 100_000 or done >= total:
+                _last[0] = done
+                log.info("Processed %d/%d (%d%%)", done, total,
+                         done * 100 // max(total, 1))
+
+        b.extend_batched(pts, progress=progress)
         idx = b.build()
+        drops = b.total_edge_drops()
+        if drops:
+            log.info("reverse-edge drops during build: %d (%.3f%% of %d "
+                     "appended edges)", drops,
+                     drops * 100.0 / max(size * opts.connections, 1),
+                     size * opts.connections)
     buildtime = time.perf_counter() - t0
     log.info("Total build time: %.2fs, per element: %.2fus",
              buildtime, buildtime / max(size, 1) * 1e6)
@@ -124,15 +138,35 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
         # host engine, one thread: serial map over queries (main.rs:203-210)
         from . import native
 
+        points_np = np.asarray(index.points)
+        eps = None
         if isinstance(index, HNSW):
-            graph, ep = index.base, index.base_ep()
+            # per-level ef=1 greedy descent, following down-pointers —
+            # exact HNSW::search semantics (hnsw.rs:285-293) on the host
+            ep = index.ep
+            eps = np.full((qs.shape[0],), ep, np.int32)
+            for lv, n_l in zip(reversed(index.levels),
+                               reversed(index.level_ns)):
+                node_ids = np.asarray(lv.node_ids)[:n_l]
+                pts_l = points_np[node_ids]
+                _, loc = native.host_knns(
+                    pts_l, index.metric.name,
+                    np.ascontiguousarray(np.asarray(lv.graph.adj)[:n_l]),
+                    np.ascontiguousarray(np.asarray(lv.graph.deg)[:n_l]),
+                    n_l, qs, 1, 1, threads=1, eps=eps,
+                )
+                down = np.asarray(lv.down)[:n_l]
+                eps = down[np.clip(loc[:, 0], 0, n_l - 1)].astype(np.int32)
+            graph = index.base
         else:
-            graph, ep = index.graph, index.ep
+            graph, eps = index.graph, np.full(
+                (qs.shape[0],), index.ep, np.int32
+            )
         dists, ids = native.host_knns(
-            np.asarray(index.points), index.metric.name,
+            points_np, index.metric.name,
             np.ascontiguousarray(np.asarray(graph.adj)),
             np.ascontiguousarray(np.asarray(graph.deg)),
-            index.size(), qs, k, ef, ep, threads=1,
+            index.size(), qs, k, ef, threads=1, eps=eps,
         )
     else:
         if hasattr(index, "enable_inline"):
@@ -145,10 +179,13 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
     querytime = time.perf_counter() - t0
     log.info("Total query time: %.3fs, per query: %.2fus",
              querytime, querytime / max(qs.shape[0], 1) * 1e6)
+    # instrument-feature analytics (main.rs:71-109): per-graph-size visited
+    # percentiles + total distance-call count
     stats = getattr(index, "last_stats", None)
-    if stats:
+    if stats and "visited_q" in stats:
         s = SearchStats(graph_size=index.size())
-        log.debug("search stats: %s", stats)
+        s.record(stats["visited_q"], stats["steps_q"])
+        s.report(log)
     attrs.querytime = querytime
     attrs.params = f"{attrs.params},query=(ef={ef})"
     return dists, ids
@@ -248,6 +285,23 @@ def cmd_ground_truth(a):
         dd.write_rows(dists.astype(np.uint64), 0)
 
 
+def _reachability(adj: np.ndarray, n: int, ep: int) -> int:
+    """Directed reachability from ``ep`` over the padded adjacency, by
+    vectorized frontier BFS on the host (scale-safe replacement for the
+    reference's whole-index search, main.rs:793-800)."""
+    visited = np.zeros(n, bool)
+    visited[ep] = True
+    frontier = np.array([ep], np.int64)
+    while frontier.size:
+        nbrs = adj[frontier].ravel()
+        nbrs = nbrs[(nbrs >= 0) & (nbrs < n)]
+        nbrs = np.unique(nbrs)
+        new = nbrs[~visited[nbrs]]
+        visited[new] = True
+        frontier = new
+    return int(visited.sum())
+
+
 def cmd_inspect(a):
     """inspect parity (main.rs:756-821): attrs, per-layer degree stats +
     percentiles, whole-index connectivity check."""
@@ -270,13 +324,20 @@ def cmd_inspect(a):
         for l in range(len(idx.levels) - 1, -1, -1):
             print_layer(f"layer{l}", idx.levels[l].graph.deg, idx.level_ns[l])
         print_layer("base", idx.base.deg, idx.n)
+        graph, ep = idx.base, idx.base_ep()
     elif isinstance(idx, NSW):
         print_layer("base", idx.graph.deg, idx.n)
+        graph, ep = idx.graph, idx.ep
+    # connectivity: the reference searches the whole index with k=ef=size
+    # (main.rs:793-800) — an ef=N sorted beam per step is O(N log N) bitonic
+    # work on TPU (effectively a hang at 1M). A host BFS over the adjacency
+    # arrays answers the same question in seconds at any scale.
     size = idx.size()
-    q = np.asarray(idx.points[0])
-    r = idx.search(q, size, size)
-    reached = int((np.asarray(r.ids) < ID_INF).sum())
-    print(f"\nquery on whole index returned {reached}/{size} elements")
+    reached = _reachability(
+        np.asarray(graph.adj), size, ep
+    )
+    print(f"\nquery on whole index returned {reached}/{size} elements "
+          f"(host BFS from the entry point)")
 
 
 def cmd_evaluate(a):

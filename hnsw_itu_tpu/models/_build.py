@@ -255,6 +255,103 @@ def search_select_window(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "efc", "m", "metric_name", "expand", "max_steps",
+        "prune_budget", "entry_sample", "use_entry", "do_write",
+    ),
+    donate_argnums=(0, 2, 3),
+)
+def chunk_step(
+    points,
+    node_map,
+    graph: GraphArrays,
+    adj_pts,
+    chunk,
+    new_ids,
+    n0,
+    ep,
+    n_valid,
+    *,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    prune_budget: int = 256,
+    entry_sample: int = 0,
+    use_entry: bool = False,
+    do_write: bool = True,
+):
+    """One WHOLE construction chunk in a single dispatch: point write,
+    entry selection, every search window (lax.map over the window grid),
+    and the vectorized mutation. On a remote-tunnel backend the previous
+    per-window dispatch loop paid a round trip per window (~200 dispatches
+    per 50k points); this is one.
+
+    Args:
+      chunk: [cp, ...] padded chunk rows (cp a multiple of S).
+      new_ids: int32[cp] graph-local ids (-1 padding).
+      n0: first point row of the chunk (points write offset when do_write;
+        also the sampled-entry population bound).
+      ep: global entry point (used when use_entry=False).
+      n_valid: number of real rows in the chunk.
+      do_write: False when the caller already wrote the chunk's points
+        (HNSW writes whole chunks before splitting into level groups whose
+        rows are non-contiguous).
+
+    Returns (points, graph, adj_pts, n_dropped).
+    """
+    metric = get_metric(metric_name)
+    if do_write:
+        points = write_points(points, chunk, n0)
+    cp = chunk.shape[0]
+    if use_entry:
+        eps_full = sampled_entry(
+            points, chunk, n0, sample_size=entry_sample, metric=metric
+        )
+    else:
+        # ep is a scalar (global entry) or an int32[cp] per-row vector
+        # (HNSW descent chain)
+        eps_full = jnp.broadcast_to(
+            jnp.asarray(ep, jnp.int32).reshape(-1), (cp,)
+        )
+
+    def real_win(s):
+        qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
+        eps = jax.lax.dynamic_slice_in_dim(eps_full, s, S, axis=0)
+        valid = (s + jnp.arange(S, dtype=jnp.int32)) < n_valid
+        sel_ids, _ = search_select(
+            points, node_map, graph.adj, qs, valid, eps, adj_pts,
+            efc=efc, m=m, metric_name=metric_name, expand=expand,
+            max_steps=max_steps,
+        )
+        return sel_ids
+
+    def win(i):
+        s = i * S
+        # bucket padding can leave whole windows past the real rows
+        return jax.lax.cond(
+            s < n_valid, real_win,
+            lambda _: jnp.full((S, m), -1, jnp.int32), s,
+        )
+
+    K = cp // S
+    if K <= 1:
+        sel = real_win(jnp.int32(0))
+    else:
+        sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
+        sel = sel.reshape(cp, -1)
+
+    graph, adj_pts, dropped = apply_inserts(
+        points, node_map, graph, new_ids, sel, adj_pts,
+        metric_name=metric_name, prune_budget=prune_budget,
+    )
+    return points, graph, adj_pts, dropped
+
+
+@functools.partial(
     jax.jit, static_argnames=("sample_size", "metric_name")
 )
 def entry_step(points, qs, n, *, sample_size, metric_name):

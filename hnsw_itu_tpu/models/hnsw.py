@@ -40,6 +40,7 @@ from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
 from . import _build
 from .base import ID_INF, IndexOptions, KnnResult, rng_seed
+from .nsw import _pad_rows_j
 
 
 class Level(NamedTuple):
@@ -61,6 +62,81 @@ def _pad_rows(x: np.ndarray, to: int):
         return x
     pad = np.zeros((to - x.shape[0], *x.shape[1:]), x.dtype)
     return np.concatenate([x, pad], axis=0)
+
+
+def _descent_eps(points, levels, qs, ep, n, *, metric, max_steps, n_levels,
+                 level_adj_pts=None, entry_sample=0):
+    """Entry points for the base search: MXU sampled entry when enabled,
+    else the ef=1 greedy descent through the levels (hnsw.rs:285-293),
+    following down-pointers."""
+    B = qs.shape[0]
+    if entry_sample > 0 and n is not None:
+        return sampled_entry(points, qs, n, sample_size=entry_sample,
+                             metric=metric)
+    eps = jnp.full((B,), ep, jnp.int32)
+    for l in range(n_levels - 1, -1, -1):
+        node_ids, down, graph = levels[l]
+        adj = graph.adj
+        cap_l = adj.shape[0]
+        lv_pts = None if level_adj_pts is None else level_adj_pts[l]
+        res = batched_beam_search(
+            lambda ids, ni=node_ids: points[ni[ids]],
+            adj,
+            qs,
+            eps,
+            ef=1,
+            metric=metric,
+            capacity=cap_l,
+            expand=1,
+            max_steps=max_steps,
+            dedup="beam" if lv_pts is not None else "bitmask",
+            get_nbr_pts=(
+                None if lv_pts is None else (lambda ids, p=lv_pts: p[ids])
+            ),
+        )
+        local_min = jnp.clip(res.ids[:, 0], 0, cap_l - 1)
+        eps = down[local_min]
+    return eps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "max_steps", "n_levels",
+                     "entry_sample", "W", "block_q"),
+)
+def _hnsw_query_step_fused(
+    points,
+    levels,
+    fused,
+    qs,
+    ep,
+    level_adj_pts=None,
+    n=None,
+    *,
+    k,
+    ef,
+    metric_name,
+    max_steps,
+    n_levels,
+    entry_sample,
+    W,
+    block_q,
+):
+    """HNSW search with the fused Pallas base-layer kernel: descent (or
+    sampled entry) in XLA, then the whole base beam loop in one kernel."""
+    from .nsw import _query_step_fused
+
+    metric = get_metric(metric_name)
+    eps = _descent_eps(
+        points, levels, qs, ep, n,
+        metric=metric, max_steps=max_steps, n_levels=n_levels,
+        level_adj_pts=level_adj_pts, entry_sample=entry_sample,
+    )
+    return _query_step_fused(
+        points, fused, qs, ep, n,
+        k=k, ef=ef, metric_name=metric_name, max_steps=max_steps,
+        entry_sample=0, W=W, block_q=block_q, eps=eps,
+    )
 
 
 @functools.partial(
@@ -90,38 +166,11 @@ def _hnsw_query_step(
     """Full HNSW search for one query batch: greedy descent (or MXU sampled
     entry) + base beam."""
     metric = get_metric(metric_name)
-    B = qs.shape[0]
-    if entry_sample > 0 and n is not None:
-        # sampled entry replaces the descent: one dense MXU block
-        eps = sampled_entry(points, qs, n, sample_size=entry_sample,
-                            metric=metric)
-        descent_levels = []
-    else:
-        eps = jnp.full((B,), ep, jnp.int32)
-        descent_levels = list(range(n_levels - 1, -1, -1))
-    # descent (hnsw.rs:285-293): ef=1 beam on each level, follow down-pointer
-    for l in descent_levels:
-        node_ids, down, graph = levels[l]
-        adj = graph.adj
-        cap_l = adj.shape[0]
-        lv_pts = None if level_adj_pts is None else level_adj_pts[l]
-        res = batched_beam_search(
-            lambda ids, ni=node_ids: points[ni[ids]],
-            adj,
-            qs,
-            eps,
-            ef=1,
-            metric=metric,
-            capacity=cap_l,
-            expand=1,
-            max_steps=max_steps,
-            dedup="beam" if lv_pts is not None else "bitmask",
-            get_nbr_pts=(
-                None if lv_pts is None else (lambda ids, p=lv_pts: p[ids])
-            ),
-        )
-        local_min = jnp.clip(res.ids[:, 0], 0, cap_l - 1)
-        eps = down[local_min]
+    eps = _descent_eps(
+        points, levels, qs, ep, n,
+        metric=metric, max_steps=max_steps, n_levels=n_levels,
+        level_adj_pts=level_adj_pts, entry_sample=entry_sample,
+    )
     # base beam search (hnsw.rs:296-299)
     res = batched_beam_search(
         lambda ids: points[ids],
@@ -158,21 +207,39 @@ class HNSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
-        self.max_steps = 2048
+        self.max_steps = None  # None = auto (2*ef, the measured safe cap)
+        self.use_pallas = True  # fused base-layer kernel when eligible
         self.last_stats = None
         self.adj_pts = None
         self.level_adj_pts = None
+        self.fused = None  # fused Pallas base table (ops/pallas_search.py)
 
     def size(self) -> int:
         return self.n
 
-    def enable_inline(self) -> None:
-        """Materialize inline neighbor points: [cap, W, words] contiguous
-        rows for the base layer AND every level (levels are small), so each
-        expansion is one sequential read instead of W random 128B gathers."""
-        from .nsw import _inline_query_fits, _materialize_inline
+    def _steps_cap(self, ef: int) -> int:
+        return self.max_steps if self.max_steps else max(2 * ef, 64)
 
-        if self.adj_pts is None and _inline_query_fits(self.points, self.base.adj):
+    def enable_inline(self) -> None:
+        """Materialize the fast-query tables: the fused Pallas table for the
+        base layer when the kernel is eligible (else flat inline rows), and
+        inline rows for every level (levels are small), so each expansion
+        is one sequential read instead of W random 128B gathers."""
+        from .nsw import (
+            _fused_query_eligible, _inline_query_fits, _materialize_inline,
+        )
+
+        if (
+            self.use_pallas
+            and self.fused is None
+            and _fused_query_eligible(self.points, self.base.adj, self.metric)
+        ):
+            from ..ops.pallas_search import materialize_fused
+
+            self.fused = materialize_fused(self.points, self.base.adj)
+        elif self.adj_pts is None and _inline_query_fits(
+            self.points, self.base.adj
+        ):
             self.adj_pts = _materialize_inline(self.points, self.base.adj)
         if self.level_adj_pts is None:
             self.level_adj_pts = tuple(
@@ -196,42 +263,72 @@ class HNSW:
     def knns(self, queries, k: int, ef: int) -> KnnResult:
         if self.ep is None:
             raise ValueError("empty index")
-        qs = np.asarray(queries)
+        qs = queries if isinstance(queries, jax.Array) else jnp.asarray(
+            np.asarray(queries)
+        )
         nq = qs.shape[0]
         B = self.query_batch
-        out_d, out_i = [], []
-        visited = steps = 0
+        out_d, out_i, out_v, out_s = [], [], [], []
         levels = tuple(self.levels)
+        use_fused = self.fused is not None and max(ef, k) <= 128
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
             bp = b if b == B else 1 << (b - 1).bit_length()
-            d, i, vis, st = _hnsw_query_step(
-                self.points,
-                levels,
-                self.base.adj,
-                jnp.asarray(_pad_rows(q, bp)),
-                jnp.int32(self.ep),
-                self.adj_pts,
-                self.level_adj_pts,
-                jnp.int32(self.n),
-                k=k,
-                ef=ef,
-                metric_name=self.metric.name,
-                expand=self.query_expand,
-                max_steps=self.max_steps,
-                n_levels=len(levels),
-                dedup=self.query_dedup,
-                entry_sample=self.query_entry_sample,
-            )
-            out_d.append(np.asarray(d)[:b])
-            out_i.append(np.asarray(i)[:b])
-            visited += int(np.asarray(vis)[:b].sum())
-            steps += int(np.asarray(st)[:b].sum())
-        self.last_stats = {"visited": visited, "steps": steps, "queries": nq}
-        return KnnResult(
-            jnp.asarray(np.concatenate(out_d)), jnp.asarray(np.concatenate(out_i))
-        )
+            if use_fused:
+                from ..ops.pallas_search import fused_width
+
+                d, i, vis, st = _hnsw_query_step_fused(
+                    self.points,
+                    levels,
+                    self.fused,
+                    _pad_rows_j(q, bp),
+                    jnp.int32(self.ep),
+                    self.level_adj_pts,
+                    jnp.int32(self.n),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    max_steps=self._steps_cap(ef),
+                    n_levels=len(levels),
+                    entry_sample=self.query_entry_sample,
+                    W=fused_width(self.base.width),
+                    block_q=min(512, bp),
+                )
+            else:
+                d, i, vis, st = _hnsw_query_step(
+                    self.points,
+                    levels,
+                    self.base.adj,
+                    _pad_rows_j(q, bp),
+                    jnp.int32(self.ep),
+                    self.adj_pts,
+                    self.level_adj_pts,
+                    jnp.int32(self.n),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    expand=self.query_expand,
+                    max_steps=self._steps_cap(ef),
+                    n_levels=len(levels),
+                    dedup=self.query_dedup,
+                    entry_sample=self.query_entry_sample,
+                )
+            d, i, vis, st = jax.device_get((d, i, vis, st))
+            out_d.append(d[:b])
+            out_i.append(i[:b])
+            out_v.append(vis[:b])
+            out_s.append(st[:b])
+        vq = np.concatenate(out_v)
+        sq = np.concatenate(out_s)
+        self.last_stats = {
+            "visited": int(vq.sum()),
+            "steps": int(sq.sum()),
+            "queries": nq,
+            "visited_q": vq,
+            "steps_q": sq,
+        }
+        return KnnResult(np.concatenate(out_d), np.concatenate(out_i))
 
 
 class HNSWBuilder:
@@ -315,7 +412,7 @@ class HNSWBuilder:
         for row in pts:
             self._insert_chunk(row[None])
 
-    def extend_batched(self, points) -> None:
+    def extend_batched(self, points, progress=None) -> None:
         """extend_parallel parity (hnsw.rs:44-169): host-native sequential
         warmup into the base layer, then progressive chunks. Levels are
         drawn PER POINT and the chunk processed in per-level groups — the
@@ -325,6 +422,8 @@ class HNSWBuilder:
         pts = np.asarray(points)
         self._ensure_points(pts)
         off = self._host_warmup(pts)
+        if off and progress:
+            progress(off)
         if self.ep is None and pts.shape[0] > 0:
             self._insert_chunk(pts[:1])
             off = 1
@@ -353,6 +452,8 @@ class HNSWBuilder:
                     int(lvl),
                 )
             off += c
+            if progress:
+                progress(off)
 
     def _host_warmup(self, pts: np.ndarray) -> int:
         """CPU-native sequential warmup (exact reference insert semantics)
@@ -417,13 +518,10 @@ class HNSWBuilder:
         if self.adj_pts is not None:
             # drain the async build queue, then free the scatter-chain copy
             # and rebuild fresh (peak memory + layout; see NSWBuilder.build)
-            from .nsw import _materialize_inline
-
             np.asarray(self.base.deg[:1])
             self.adj_pts.delete()
             self.adj_pts = None
-            h.adj_pts = _materialize_inline(h.points, h.base.adj)
-            h.enable_inline()  # fills the level inline rows too
+            h.enable_inline()  # fused table (or inline rows) + level rows
         return h
 
     # -- the chunk insert ------------------------------------------------------
@@ -524,14 +622,8 @@ class HNSWBuilder:
             and self.opts.entry_sample > 0
             and n_before > self.opts.entry_sample
         ):
-            eps_j = _build.entry_step(
-                self.points,
-                jnp.asarray(chunk),
-                jnp.int32(n_before),
-                sample_size=self.opts.entry_sample,
-                metric_name=self.metric.name,
-            )
-            self._insert_graph(chunk, base_ids, eps_j, n_valid=c)
+            # eps_j=None: the sampled entry fuses into the chunk_step
+            self._insert_graph(chunk, base_ids, None, n_valid=c)
             return
 
         eps_j = jnp.full((cpad,), ep_old, jnp.int32)
@@ -623,51 +715,37 @@ class HNSWBuilder:
         self.levels[l] = Level(lv.node_ids, lv.down, g)
 
     def _insert_graph(self, chunk, base_ids: np.ndarray, eps_j, n_valid: int):
-        """Base-layer insert: device-resident windowed search + one
-        mutation (see NSWBuilder._insert_chunk for the rationale).
+        """Base-layer insert in ONE device dispatch (_build.chunk_step; see
+        NSWBuilder._insert_chunk for the rationale). Points were already
+        written by extend_batched, so do_write=False.
         ``chunk``/``base_ids``/``eps_j`` arrive bucket-padded."""
         cp = chunk.shape[0]
         S = 1 if cp == 1 else min(self.opts.batch_size, cp)
         qj = jnp.asarray(np.asarray(chunk))
-        eps_full = eps_j
-
-        sel_parts = []
-        for s in range(0, cp, S):
-            if s >= n_valid:  # window past the real rows: nothing to search
-                sel_parts.append(
-                    np.full((S, self.opts.connections), -1, np.int32)
-                )
-                continue
-            sel_ids, _ = _build.search_select_window(
-                self.points,
-                self._node_map,
-                self.base.adj,
-                qj,
-                eps_full,
-                jnp.int32(s),
-                jnp.int32(n_valid),
-                self.adj_pts,
-                S=S,
-                efc=self.opts.ef_construction,
-                m=self.opts.connections,
-                metric_name=self.metric.name,
-                expand=self.opts.expand,
-            )
-            sel_parts.append(sel_ids)
-        sel_rows = sel_parts[0] if len(sel_parts) == 1 else jnp.concatenate(
-            sel_parts, axis=0
-        )
         new_ids = np.asarray(base_ids).astype(np.int32).copy()
         new_ids[n_valid:] = -1
-        self.base, self.adj_pts, dropped = _build.apply_inserts(
+        # population bound for sampled entry = rows before this chunk
+        n_before = int(new_ids[0]) if n_valid > 0 else 0
+        use_entry = eps_j is None
+        self.points, self.base, self.adj_pts, dropped = _build.chunk_step(
             self.points,
             self._node_map,
             self.base,
-            jnp.asarray(new_ids),
-            sel_rows,
             self.adj_pts,
+            qj,
+            jnp.asarray(new_ids),
+            jnp.int32(n_before),
+            jnp.int32(0) if eps_j is None else eps_j,
+            jnp.int32(n_valid),
+            S=S,
+            efc=self.opts.ef_construction,
+            m=self.opts.connections,
             metric_name=self.metric.name,
+            expand=self.opts.expand,
             prune_budget=self.opts.prune_budget,
+            entry_sample=self.opts.entry_sample,
+            use_entry=use_entry,
+            do_write=False,
         )
         self.edge_drops.append(dropped)
         if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:

@@ -32,6 +32,15 @@ def _pad_rows(x: np.ndarray, to: int):
     return np.concatenate([x, pad], axis=0)
 
 
+def _pad_rows_j(x: jax.Array, to: int) -> jax.Array:
+    """Device-side row padding (no host round trip)."""
+    if x.shape[0] == to:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((to - x.shape[0], *x.shape[1:]), x.dtype)], axis=0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup",
@@ -102,6 +111,73 @@ def _inline_query_fits(points, adj) -> bool:
         "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
 
 
+def _fused_query_eligible(points, adj, metric) -> bool:
+    """Can the fused Pallas kernel (ops/pallas_search.py) serve queries?
+    Needs the Hamming packed-key path (static distance bound), a fusable
+    adjacency width, an int32-packable (distance, id) key, and the fused
+    table to fit the inline-memory budget."""
+    import os
+
+    from ..ops.pallas_search import LANES, fused_width
+
+    if metric.name != "hamming" or points is None:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False  # Mosaic kernel needs real TPU hardware
+    words = int(np.prod(points.shape[1:]))
+    cap = adj.shape[0]
+    try:
+        W = fused_width(adj.shape[1])
+    except ValueError:
+        return False
+    if words % (LANES // W) != 0:
+        return False
+    id_bits = max(1, (cap - 1).bit_length())
+    max_d = words * 32
+    if id_bits + (max_d + 1).bit_length() > 31:
+        return False
+    need = cap * (1 + words * W // LANES) * LANES * points.dtype.itemsize
+    return need <= int(float(os.environ.get(
+        "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
+                     "W", "block_q"),
+)
+def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
+                      max_steps, entry_sample, W, block_q, eps=None):
+    """Fused-kernel query step: sampled (or fixed) entry + packed init keys
+    in XLA, then the whole beam loop in one Pallas kernel."""
+    from ..ops.pallas_search import fused_beam_search
+
+    metric = get_metric(metric_name)
+    cap = fused.shape[0]
+    words = int(np.prod(points.shape[1:]))
+    id_bits = max(1, (cap - 1).bit_length())
+    max_d = words * 32
+    if eps is None:
+        if entry_sample > 0 and n is not None:
+            eps = sampled_entry(points, qs, n, sample_size=entry_sample,
+                                metric=metric)
+        else:
+            eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    d0 = jax.vmap(lambda q, p: metric.one_to_many(q, p[None])[0])(
+        qs, points[eps]
+    ).astype(jnp.int32)
+    init = (d0 << id_bits) | eps
+    keys, vis, stp = fused_beam_search(
+        fused, qs, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
+        max_d=max_d, max_steps=max_steps, block_q=block_q,
+    )
+    kinf = (max_d + 1) << id_bits
+    valid = keys < kinf
+    d = jnp.where(valid, keys >> id_bits, metric.inf)
+    i = jnp.where(valid, keys & ((1 << id_bits) - 1), ID_INF)
+    return d[:, :k], i[:, :k], vis, stp
+
+
 @jax.jit
 def _materialize_inline(points, adj):
     """Inline neighbor rows, stored FLAT [cap, W*words]: a trailing dim of
@@ -142,19 +218,37 @@ class NSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
-        self.max_steps = 2048
+        self.max_steps = None  # None = auto (2*ef, the measured safe cap)
+        self.use_pallas = True  # fused kernel when eligible
         self.last_stats = None
         self.adj_pts = None
+        self.fused = None  # fused Pallas table (ops/pallas_search.py)
 
     def size(self) -> int:
         return self.n
 
+    def _steps_cap(self, ef: int) -> int:
+        # stragglers past ~ef expansions contribute no recall (measured)
+        # but gate the whole lockstep batch; 2*ef is a safe margin
+        return self.max_steps if self.max_steps else max(2 * ef, 64)
+
     def enable_inline(self) -> None:
-        """Materialize adj_pts (flat inline neighbor rows) for
-        sequential-read expansions. Costs W x points memory; pays off on
-        query throughput (HBM gathers of 128B rows are descriptor-bound).
-        Queries are read-only (single copy), so the limit is higher than
-        the build-side one. No-op if it would not fit."""
+        """Materialize the fast-query tables: the fused Pallas table when
+        the kernel is eligible (Hamming, packable keys), else adj_pts (flat
+        inline neighbor rows) for the XLA sequential-read path. Either
+        costs ~W x points memory; pays off on query throughput (HBM
+        gathers of 128B rows are descriptor-bound). Queries are read-only
+        (single copy), so the limit is higher than the build-side one.
+        No-op if it would not fit."""
+        if (
+            self.use_pallas
+            and self.fused is None
+            and _fused_query_eligible(self.points, self.graph.adj, self.metric)
+        ):
+            from ..ops.pallas_search import materialize_fused
+
+            self.fused = materialize_fused(self.points, self.graph.adj)
+            return
         if self.adj_pts is None and _inline_query_fits(self.points, self.graph.adj):
             self.adj_pts = _materialize_inline(self.points, self.graph.adj)
 
@@ -164,20 +258,42 @@ class NSW:
 
     def knns(self, queries, k: int, ef: int) -> KnnResult:
         """Batched queries — the rayon par_iter analogue
-        (src/index/mod.rs:27-43): queries become a leading array axis."""
+        (src/index/mod.rs:27-43): queries become a leading array axis.
+        Uploaded to the device ONCE; batches are sliced on device (a
+        per-batch host->device hop costs a full tunnel round trip on
+        remote backends)."""
         if self.ep is None:
             raise ValueError("empty index")
-        qs = np.asarray(queries)
+        qs = queries if isinstance(queries, jax.Array) else jnp.asarray(
+            np.asarray(queries)
+        )
         nq = qs.shape[0]
         B = self.query_batch
-        out_d, out_i = [], []
-        visited = steps = 0
+        out_d, out_i, out_v, out_s = [], [], [], []
+        use_fused = self.fused is not None and max(ef, k) <= 128
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
             bp = b if b == B else 1 << (b - 1).bit_length()
-            qb = _pad_rows(q, bp)
-            if self.adj_pts is not None:
+            qb = _pad_rows_j(q, bp)
+            if use_fused:
+                from ..ops.pallas_search import fused_width
+
+                d, i, vis, st = _query_step_fused(
+                    self.points,
+                    self.fused,
+                    jnp.asarray(qb),
+                    jnp.int32(self.ep),
+                    jnp.int32(self.n),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    max_steps=self._steps_cap(ef),
+                    entry_sample=self.query_entry_sample,
+                    W=fused_width(self.graph.width),
+                    block_q=min(512, bp),
+                )
+            elif self.adj_pts is not None:
                 d, i, vis, st = _query_step_inline(
                     self.points,
                     self.graph.adj,
@@ -189,7 +305,7 @@ class NSW:
                     ef=ef,
                     metric_name=self.metric.name,
                     expand=self.query_expand,
-                    max_steps=self.max_steps,
+                    max_steps=self._steps_cap(ef),
                     entry_sample=self.query_entry_sample,
                 )
             else:
@@ -203,18 +319,25 @@ class NSW:
                     ef=ef,
                     metric_name=self.metric.name,
                     expand=self.query_expand,
-                    max_steps=self.max_steps,
+                    max_steps=self._steps_cap(ef),
                     dedup=self.query_dedup,
                     entry_sample=self.query_entry_sample,
                 )
-            out_d.append(np.asarray(d)[:b])
-            out_i.append(np.asarray(i)[:b])
-            visited += int(np.asarray(vis)[:b].sum())
-            steps += int(np.asarray(st)[:b].sum())
-        self.last_stats = {"visited": visited, "steps": steps, "queries": nq}
-        return KnnResult(
-            jnp.asarray(np.concatenate(out_d)), jnp.asarray(np.concatenate(out_i))
-        )
+            d, i, vis, st = jax.device_get((d, i, vis, st))
+            out_d.append(d[:b])
+            out_i.append(i[:b])
+            out_v.append(vis[:b])
+            out_s.append(st[:b])
+        vq = np.concatenate(out_v)
+        sq = np.concatenate(out_s)
+        self.last_stats = {
+            "visited": int(vq.sum()),
+            "steps": int(sq.sum()),
+            "queries": nq,
+            "visited_q": vq,
+            "steps_q": sq,
+        }
+        return KnnResult(np.concatenate(out_d), np.concatenate(out_i))
 
 
 class NSWBuilder:
@@ -280,13 +403,16 @@ class NSWBuilder:
         else:
             self.extend_batched(pts)
 
-    def extend_batched(self, points) -> None:
+    def extend_batched(self, points, progress=None) -> None:
         """extend_parallel parity: host-native sequential warmup
         (nsw.rs:234-235), then progressive batched search-then-mutate
-        chunks."""
+        chunks. ``progress`` (optional) is called with the running row
+        count after the warmup and after every chunk."""
         pts = np.asarray(points)
         self._ensure_points(pts)
         off = self._host_warmup(pts)
+        if off and progress:
+            progress(off)
         if self.ep is None and pts.shape[0] > off:
             self._insert_chunk(pts[off : off + 1])
             off += 1
@@ -295,6 +421,8 @@ class NSWBuilder:
         ):
             self._insert_chunk(pts[off : off + c])
             off += c
+            if progress:
+                progress(off)
 
     def _host_warmup(self, pts: np.ndarray) -> int:
         """Insert the first ``host_warmup`` points on the CPU with exact
@@ -339,84 +467,61 @@ class NSWBuilder:
             # carries the gather-preferred layout
             self.adj_pts.delete()
             self.adj_pts = None
-            nsw.adj_pts = _materialize_inline(nsw.points, nsw.graph.adj)
+            nsw.enable_inline()  # fused table (or fresh inline rows)
         return nsw
 
     # -- internals ------------------------------------------------------------
     def _insert_chunk(self, chunk: np.ndarray):
-        """One bulk-synchronous round. The whole loop is device-resident:
-        one upload, one entry block, K windowed searches, one mutation —
-        no per-window host transfers (each eager op on the remote backend
-        costs a tunnel round trip)."""
+        """One bulk-synchronous round in ONE device dispatch
+        (_build.chunk_step): point write + entry block + all search windows
+        + the mutation. On the remote backend each dispatch costs a tunnel
+        round trip, so the old per-window loop dominated build time."""
         c = chunk.shape[0]
         if self.n + c > self.opts.size:
             raise ValueError("index capacity exceeded; raise IndexOptions.size")
         first = self.ep is None
         n0 = self.n
-        self.points = _build.write_points(
-            self.points, jnp.asarray(chunk), jnp.int32(n0)
-        )
-        self.n += c
         if first:
             # first point becomes the entry point (nsw.rs:300-313)
+            self.points = _build.write_points(
+                self.points, jnp.asarray(chunk[:1]), jnp.int32(n0)
+            )
             self.ep = n0
+            self.n += 1
             chunk = chunk[1:]
             n0 += 1
             c -= 1
             if c == 0:
                 return
 
-        S = 1 if c == 1 else self.opts.batch_size
+        S = 1 if c == 1 else min(self.opts.batch_size, 1 << (c - 1).bit_length())
         cp = -(-c // S) * S
         qj = jnp.asarray(_pad_rows(chunk, cp))
-        if self.opts.entry_sample > 0 and n0 > self.opts.entry_sample:
-            eps_full = _build.entry_step(
-                self.points, qj, jnp.int32(n0),
-                sample_size=self.opts.entry_sample,
-                metric_name=self.metric.name,
-            )
-        else:
-            eps_full = jnp.asarray(np.full((cp,), self.ep, np.int32))
-
-        sel_parts = []
-        for s in range(0, cp, S):
-            if s >= c:  # window past the real rows
-                sel_parts.append(
-                    np.full((S, self.opts.connections), -1, np.int32)
-                )
-                continue
-            sel_ids, _ = _build.search_select_window(
-                self.points,
-                self._node_map,
-                self.graph.adj,
-                qj,
-                eps_full,
-                jnp.int32(s),
-                jnp.int32(c),
-                self.adj_pts,
-                S=S,
-                efc=self.opts.ef_construction,
-                m=self.opts.connections,
-                metric_name=self.metric.name,
-                expand=self.opts.expand,
-            )
-            sel_parts.append(sel_ids)
-        sel_rows = sel_parts[0] if len(sel_parts) == 1 else jnp.concatenate(
-            sel_parts, axis=0
-        )
-
         new_ids = n0 + np.arange(cp, dtype=np.int32)
         new_ids[c:] = -1
-        self.graph, self.adj_pts, dropped = _build.apply_inserts(
+        use_entry = (
+            self.opts.entry_sample > 0 and n0 > self.opts.entry_sample
+        )
+        self.points, self.graph, self.adj_pts, dropped = _build.chunk_step(
             self.points,
             self._node_map,
             self.graph,
-            jnp.asarray(new_ids),
-            sel_rows,
             self.adj_pts,
+            qj,
+            jnp.asarray(new_ids),
+            jnp.int32(n0),
+            jnp.int32(self.ep),
+            jnp.int32(c),
+            S=S,
+            efc=self.opts.ef_construction,
+            m=self.opts.connections,
             metric_name=self.metric.name,
+            expand=self.opts.expand,
             prune_budget=self.opts.prune_budget,
+            entry_sample=self.opts.entry_sample,
+            use_entry=use_entry,
         )
+        self.n += c
         self.edge_drops.append(dropped)  # device scalars, summed lazily
         if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
             # throttle queue-ahead dispatch: with multi-GB inline buffers,

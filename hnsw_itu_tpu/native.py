@@ -59,11 +59,12 @@ def load():
         _build_lib()
         lib = ctypes.CDLL(_SO)
         lib.hnsw_host_abi_version.restype = ctypes.c_int32
-        if lib.hnsw_host_abi_version() != 1:
+        if lib.hnsw_host_abi_version() != 2:
             raise RuntimeError("hnsw_host ABI mismatch")
         lib.hnsw_host_hamming.restype = ctypes.c_int32
         lib.hnsw_host_build.restype = ctypes.c_int64
         lib.hnsw_host_knns.restype = ctypes.c_int64
+        lib.hnsw_host_knns_eps.restype = ctypes.c_int64
         lib.hnsw_host_bruteforce.restype = ctypes.c_int64
         _LIB = lib
         return lib
@@ -109,14 +110,23 @@ def host_build(points: np.ndarray, metric: str, adj: np.ndarray,
 
 def host_knns(points: np.ndarray, metric: str, adj: np.ndarray,
               deg: np.ndarray, n: int, queries: np.ndarray, k: int, ef: int,
-              ep: int, threads: int = 0):
+              ep: int = 0, threads: int = 0, eps: np.ndarray | None = None):
+    """Batch k-NN on the host engine. ``eps`` (optional int32[nq]) gives a
+    per-query entry point — the HNSW level-descent hook; else the scalar
+    ``ep`` seeds every query."""
     lib = load()
     points = np.ascontiguousarray(points)
     queries = np.ascontiguousarray(queries, points.dtype)
     nq = queries.shape[0]
     out_ids = np.empty((nq, k), np.int32)
     out_dists = np.empty((nq, k), np.int32)
-    r = lib.hnsw_host_knns(
+    if eps is not None:
+        eps = np.ascontiguousarray(eps, np.int32)
+        assert eps.shape == (nq,)
+        eps_ptr = eps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        eps_ptr = None
+    r = lib.hnsw_host_knns_eps(
         _ptr(points),
         ctypes.c_int32(points.shape[1]),
         ctypes.c_int32(METRIC_CODE[metric]),
@@ -129,6 +139,7 @@ def host_knns(points: np.ndarray, metric: str, adj: np.ndarray,
         ctypes.c_int64(nq),
         ctypes.c_int32(k),
         ctypes.c_int32(ef),
+        eps_ptr,
         ctypes.c_int32(ep),
         ctypes.c_int32(threads),
         out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

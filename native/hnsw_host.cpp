@@ -216,8 +216,8 @@ int64_t build_range(const Dist& dist, HostGraph& g, int64_t n0, int64_t n1,
 
 template <typename Dist, typename Q>
 void knns(const Dist& dist, const HostGraph& g, int64_t n, const Q* queries,
-          int64_t nq, int k, int ef, int32_t ep, int threads,
-          int32_t* out_ids, int32_t* out_dists) {
+          int64_t nq, int k, int ef, const int32_t* eps, int32_t ep_scalar,
+          int threads, int32_t* out_ids, int32_t* out_dists) {
   if (threads <= 0) threads = std::thread::hardware_concurrency();
   threads = std::max(1, std::min<int>(threads, 64));
   std::atomic<int64_t> next(0);
@@ -228,6 +228,7 @@ void knns(const Dist& dist, const HostGraph& g, int64_t n, const Q* queries,
       int64_t i = next.fetch_add(1);
       if (i >= nq) break;
       const Q* q = queries + i * dist.words;
+      int32_t ep = eps ? eps[i] : ep_scalar;
       search(g, dist, q, std::max(ef, k), ep, vis, n, beam);
       for (int j = 0; j < k; ++j) {
         if (j < (int)beam.size()) {
@@ -249,7 +250,7 @@ void knns(const Dist& dist, const HostGraph& g, int64_t n, const Q* queries,
 
 extern "C" {
 
-int32_t hnsw_host_abi_version() { return 1; }
+int32_t hnsw_host_abi_version() { return 2; }
 
 // Hamming distance of two packed-u32 sketches (golden-test hook).
 int32_t hnsw_host_hamming(const uint32_t* a, const uint32_t* b, int32_t words) {
@@ -278,24 +279,39 @@ int64_t hnsw_host_build(const void* points, int32_t words, int32_t metric,
 
 // Multithreaded batch k-NN over the padded-array graph (host fallback /
 // oracle). out_ids/out_dists are [nq, k]; missing slots get INT32_MAX.
-int64_t hnsw_host_knns(const void* points, int32_t words, int32_t metric,
-                       const int32_t* adj, const int32_t* deg, int64_t cap,
-                       int32_t W, int64_t n, const void* queries, int64_t nq,
-                       int32_t k, int32_t ef, int32_t ep, int32_t threads,
-                       int32_t* out_ids, int32_t* out_dists) {
+// ``eps`` (nullable int32[nq]) gives a per-query entry point — the hook the
+// HNSW level-descent chain needs (hnsw.rs:285-293); when null, the scalar
+// ``ep`` seeds every query.
+int64_t hnsw_host_knns_eps(const void* points, int32_t words, int32_t metric,
+                           const int32_t* adj, const int32_t* deg,
+                           int64_t cap, int32_t W, int64_t n,
+                           const void* queries, int64_t nq, int32_t k,
+                           int32_t ef, const int32_t* eps, int32_t ep,
+                           int32_t threads, int32_t* out_ids,
+                           int32_t* out_dists) {
   HostGraph g{(int32_t*)adj, (int32_t*)deg, cap, W};
   if (metric == 0) {
     Hamming d{(const uint32_t*)points, words};
-    knns<Hamming, uint32_t>(d, g, n, (const uint32_t*)queries, nq, k, ef, ep,
-                            threads, out_ids, out_dists);
+    knns<Hamming, uint32_t>(d, g, n, (const uint32_t*)queries, nq, k, ef,
+                            eps, ep, threads, out_ids, out_dists);
   } else if (metric == 1) {
     SqL2 d{(const int32_t*)points, words};
-    knns<SqL2, int32_t>(d, g, n, (const int32_t*)queries, nq, k, ef, ep,
+    knns<SqL2, int32_t>(d, g, n, (const int32_t*)queries, nq, k, ef, eps, ep,
                         threads, out_ids, out_dists);
   } else {
     return -1;
   }
   return nq;
+}
+
+int64_t hnsw_host_knns(const void* points, int32_t words, int32_t metric,
+                       const int32_t* adj, const int32_t* deg, int64_t cap,
+                       int32_t W, int64_t n, const void* queries, int64_t nq,
+                       int32_t k, int32_t ef, int32_t ep, int32_t threads,
+                       int32_t* out_ids, int32_t* out_dists) {
+  return hnsw_host_knns_eps(points, words, metric, adj, deg, cap, W, n,
+                            queries, nq, k, ef, nullptr, ep, threads,
+                            out_ids, out_dists);
 }
 
 // Exact brute-force k-NN on the host (small-scale oracle).

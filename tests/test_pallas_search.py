@@ -1,0 +1,101 @@
+"""Fused Pallas search kernel: layout goldens + exact equivalence with the
+XLA packed beam path (interpret mode; the real-hardware path is exercised
+by bench.py and was verified bit-exact on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hnsw_itu_tpu.ops.metrics import get_metric
+from hnsw_itu_tpu.ops.pallas_search import (
+    LANES,
+    fused_beam_search,
+    fused_width,
+    materialize_fused,
+    query_tiles,
+)
+from hnsw_itu_tpu.ops.search import batched_beam_search
+
+
+def _random_graph(rng, cap, w, words):
+    pts = rng.integers(0, 2**32, size=(cap, words), dtype=np.uint32)
+    adj = np.full((cap, w), -1, np.int32)
+    for i in range(cap):
+        deg = rng.integers(w // 2, w + 1)
+        adj[i, :deg] = rng.choice(cap, size=deg, replace=False)
+    return pts, adj
+
+
+def test_fused_table_layout():
+    rng = np.random.default_rng(3)
+    cap, w, words = 64, 16, 32
+    pts, adj = _random_graph(rng, cap, w, words)
+    table = np.asarray(materialize_fused(jnp.asarray(pts), jnp.asarray(adj)))
+    W = fused_width(w)
+    REP = LANES // W
+    assert table.shape == (cap, 1 + words // REP, LANES)
+    # header subrow: adjacency ids (two's complement), -1 beyond width
+    hdr = table[:, 0, :].astype(np.int64)
+    hdr = np.where(hdr >= 2**31, hdr - 2**32, hdr)
+    assert (hdr[:, :w] == adj).all()
+    assert (hdr[:, w:] == -1).all()
+    # data subrows: lane r*W + n = word s*REP + r of neighbor n
+    safe = np.clip(adj, 0, cap - 1)
+    for e in (0, 13, cap - 1):
+        for s in (0, 1, words // REP - 1):
+            for l in (0, 1, W - 1, W, LANES - 1):
+                r, n = l // W, l % W
+                want = pts[safe[e, n], s * REP + r] if n < w else 0
+                assert table[e, 1 + s, l] == want, (e, s, l)
+
+
+def test_query_tiles_layout():
+    rng = np.random.default_rng(4)
+    B, words, W = 4, 32, 16
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    qt = np.asarray(query_tiles(jnp.asarray(qs), W))
+    REP = LANES // W
+    assert qt.shape == (B, words // REP, LANES)
+    for s in range(words // REP):
+        for l in range(LANES):
+            assert (qt[:, s, l] == qs[:, s * REP + l // W]).all()
+
+
+@pytest.mark.parametrize("w,ef", [(16, 24), (32, 64), (64, 48)])
+def test_fused_matches_xla_packed(w, ef):
+    """Bit-exact equivalence with _beam_search_packed (dedup='beam',
+    expand=1): distances, ids, visited counts, and step counts."""
+    cap, words, B = 512, 32, 64
+    rng = np.random.default_rng(w * 1000 + ef)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    metric = get_metric("hamming")
+    max_d = words * 32
+    id_bits = max(1, (cap - 1).bit_length())
+
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+    ref = batched_beam_search(
+        lambda ids: pts_j[ids], adj_j, qs_j, jnp.zeros((B,), jnp.int32),
+        ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+        dedup="beam",
+    )
+
+    table = materialize_fused(pts_j, adj_j)
+    d0 = jnp.sum(
+        jax.lax.population_count(qs_j ^ pts_j[0][None]), axis=1
+    ).astype(jnp.int32)
+    keys, vis, stp = fused_beam_search(
+        table, qs_j, (d0 << id_bits) | 0, ef=ef, W=fused_width(w),
+        words=words, id_bits=id_bits, max_d=max_d, max_steps=256,
+        block_q=B, interpret=True,
+    )
+    kinf = (max_d + 1) << id_bits
+    keys = np.asarray(keys)
+    got_d = np.where(keys < kinf, keys >> id_bits, np.iinfo(np.int32).max)
+    got_i = np.where(keys < kinf, keys & ((1 << id_bits) - 1),
+                     np.iinfo(np.int32).max)
+    np.testing.assert_array_equal(got_d[:, :ef], np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i[:, :ef], np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref.visited))
+    np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
