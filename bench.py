@@ -92,17 +92,27 @@ def main():
     import jax.numpy as jnp
 
     qs_dev = jnp.asarray(qs)  # stage queries on device once (tunnel hop)
-    index.knns(qs_dev[:8192], K, EF)  # compile
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res = index.knns(qs_dev, K, EF)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+
+    def run_ef(ef):
+        index.knns(qs_dev[:8192], K, ef)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = index.knns(qs_dev, K, ef)
+            best = min(best, time.perf_counter() - t0)
+        rec = recall_at_k(np.asarray(res.ids), np.asarray(gt.ids), K)
+        print(f"# query ef={ef}: {best:.3f}s for {NQ} queries, "
+              f"recall@10={rec:.4f}, "
+              f"visited/q={index.last_stats['visited']/NQ:.0f}",
+              file=sys.stderr)
+        return best, rec
+
+    # optional extra ef points (comma-separated) recorded to stderr only
+    for ef_x in os.environ.get("BENCH_EF_SWEEP", "").split(","):
+        if ef_x.strip():
+            run_ef(int(ef_x))
+    best, recall = run_ef(EF)
     qps = NQ / best
-    recall = recall_at_k(np.asarray(res.ids), np.asarray(gt.ids), K)
-    print(f"# query: {best:.3f}s for {NQ} queries, recall@10={recall:.4f}, "
-          f"visited/q={index.last_stats['visited']/NQ:.0f}", file=sys.stderr)
     print(f"# total bench time {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr)
 

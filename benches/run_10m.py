@@ -1,0 +1,140 @@
+"""The 10M-point benchmark — the reference's headline scale.
+
+Reference (BASELINE.md): laion2B hamming, n=10,120,191, 10k queries —
+build 575.21s (16 CPU threads), 26.4k QPS at recall@10 0.93356 (ef=64).
+The LAION files are not available here, so this runs the same shape on
+clustered synthetic sketches: 10M points, 10k queries, k=10, ef=64,
+efc=96/m=24/M=64, recall measured against the exact MXU brute-force oracle.
+
+At 10M the fused Pallas table (128B x W per node) exceeds HBM, and the
+packed (distance, id) key exceeds int32, so queries run the XLA packed beam
+path with per-neighbor gathers — the measured wall is HBM random access
+(~93ns per 128-byte row; see docs/SCALE.md).
+
+Writes one JSON line to benches/results_10m.json.
+
+Usage: python benches/run_10m.py [N] (default 10_000_000)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from hnsw_itu_tpu.utils.compile_cache import enable
+
+    enable()
+    import jax
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.models import IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.utils import recall_at_k
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    NQ, K, EF = 10_000, 10, 64
+    rng = np.random.default_rng(0)
+    C = max(16, N // 128)
+
+    t_start = time.perf_counter()
+    # clustered sketches, generated in 1M-row chunks (10M x 1024 random
+    # bits at once would need 10GB of scratch)
+    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+
+    def make(n):
+        out = np.empty((n, 32), np.uint32)
+        for s in range(0, n, 1_000_000):
+            e = min(s + 1_000_000, n)
+            m = e - s
+            flips = np.packbits(
+                rng.random((m, 1024)) < 0.08, axis=-1
+            ).view(np.uint32)
+            out[s:e] = centers[rng.integers(0, C, size=m)] ^ flips
+        return out
+
+    pts = make(N)
+    qs = make(NQ)
+    print(f"# data generated at {time.perf_counter()-t_start:.0f}s",
+          file=sys.stderr, flush=True)
+
+    # device session warm-up (see bench.py)
+    np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
+          file=sys.stderr, flush=True)
+
+    opts = IndexOptions(ef_construction=96, connections=24,
+                        max_connections=64, size=N, batch_size=256,
+                        host_warmup=min(50_000, N))
+    t0 = time.perf_counter()
+    b = HNSWBuilder(opts, metric="hamming")
+    last = [time.perf_counter(), 0]
+
+    def prog(done):
+        if done - last[1] >= 500_000 or done >= N:
+            now = time.perf_counter()
+            print(f"#   {done}/{N} ({done*100//N}%) "
+                  f"+{(now-last[0]):.0f}s", file=sys.stderr, flush=True)
+            last[0], last[1] = now, done
+
+    b.extend_batched(pts, progress=prog)
+    index = b.build()
+    np.asarray(index.base.deg[:1])  # drain
+    build_s = time.perf_counter() - t0
+    print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
+          f"levels={index.level_ns}, drops={b.total_edge_drops()}",
+          file=sys.stderr, flush=True)
+
+    # exact ground truth on a 2048-query subset via the native host engine
+    # (the device scan's bf16 bit table would be 20GB at 10M; recall over
+    # 2048 queries estimates the full recall to about +-0.005)
+    from hnsw_itu_tpu import native
+
+    NGT = 2048
+    t0 = time.perf_counter()
+    _, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
+    print(f"# ground truth ({NGT} queries, host): "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    index.query_batch = 8192
+    index.query_entry_sample = 1024
+    index.query_dedup = "beam"  # O(N) visited bitmasks don't fit at 10M
+    index.enable_inline()  # no-op at 10M (documented): tables exceed HBM
+    qs_dev = jnp.asarray(qs)
+    index.knns(qs_dev[:8192], K, EF)  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = index.knns(qs_dev, K, EF)
+        best = min(best, time.perf_counter() - t0)
+    qps = NQ / best
+    recall = recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K)
+    print(f"# query: {best:.3f}s for {NQ} queries "
+          f"(visited/q={index.last_stats['visited']/NQ:.0f})",
+          file=sys.stderr, flush=True)
+
+    rec = {
+        "metric": f"HNSW 10M-scale (k={K}, ef={EF}, n={N}, synthetic "
+                  "1024-bit sketches)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 26_400, 3),
+        "recall_at_10": round(float(recall), 4),
+        "build_seconds": round(build_s, 1),
+        "n_points": N,
+        "n_queries": NQ,
+        "query_path": "xla-packed-beam (fused table > HBM at 10M)",
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results_10m.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -241,12 +241,23 @@ class HNSW:
             self.points, self.base.adj
         ):
             self.adj_pts = _materialize_inline(self.points, self.base.adj)
-        if self.level_adj_pts is None:
-            self.level_adj_pts = tuple(
-                _materialize_inline(self.points, lv.node_ids[jnp.clip(
-                    lv.graph.adj, 0, lv.node_ids.shape[0] - 1)])
+        if self.level_adj_pts is None and self.fused is None:
+            # level inline rows only help the greedy-descent path; with the
+            # fused table active, queries use sampled entry (or the plain
+            # level search) and the extra level tables would eat the thin
+            # HBM margin left at 1M (measured OOM). Budget 1GB total: at
+            # 10M the first level alone would be ~4GB.
+            words = int(np.prod(self.points.shape[1:]))
+            need = sum(
+                lv.graph.adj.shape[0] * lv.graph.width * words * 4
                 for lv in self.levels
             )
+            if need <= 1 << 30:
+                self.level_adj_pts = tuple(
+                    _materialize_inline(self.points, lv.node_ids[jnp.clip(
+                        lv.graph.adj, 0, lv.node_ids.shape[0] - 1)])
+                    for lv in self.levels
+                )
 
     def base_ep(self) -> int:
         """Follow the down-pointer chain from the top-level entry point to

@@ -26,10 +26,11 @@ expand=1) exactly: same (distance, id) packed order, same termination rule
 (no unexpanded key <= beam[ef-1]), same visited accounting. Queries run in
 lockstep per block of ``block_q``; blocks terminate independently.
 
-Fused-table layout (``uint32[N, 1 + words // REP, 128]``, REP = 128 // W):
-row ``e`` subrow 0 = adjacency ids of node e (lane n = neighbor n, -1
-beyond the row width); subrow 1 + s, lane r * W + n = packed word
-``s * REP + r`` of neighbor n's sketch. One leading-dim DMA per expansion
+Fused-table layout (``uint32[N, fused_subrows(W, words), 128]``, REP =
+128 // W): row ``e`` subrow 0 = adjacency ids of node e (lane n = neighbor
+n, -1 beyond the row width); subrow 1 + s, lane r * W + n = packed word
+``s * REP + r`` of neighbor n's sketch; trailing pad subrows (to a
+multiple of 8) keep the (8, 128) int tiling exact. One leading-dim DMA per expansion
 fetches ids + all neighbor data sequentially; the word-sliced layout makes
 the popcount reduction a sublane sum plus a log2(REP) lane fold — no
 in-kernel transposes.
@@ -68,18 +69,29 @@ def fused_width(width: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def fused_subrows(W: int, words: int) -> int:
+    """Number of 128-lane subrows per fused-table row: header + data,
+    rounded UP to a multiple of 8 so the (8, 128) int tiling is exact —
+    a 17-subrow table would be silently padded to 24 by the tiler AND
+    copied at the kernel boundary (measured: 2.3x memory at 1M = OOM)."""
+    REP = LANES // W
+    s = 1 + words // REP
+    return -(-s // 8) * 8
+
+
 @functools.partial(jax.jit, donate_argnums=())
 def materialize_fused(points, adj):
-    """Build the fused HBM table ``uint32[N, 1 + words // REP, 128]`` (see
-    module docstring). Tiled over row blocks like nsw._materialize_inline
-    to avoid multi-GB relayout intermediates."""
+    """Build the fused HBM table ``uint32[N, fused_subrows, 128]`` (see
+    module docstring; trailing pad subrows are zero). Tiled over row blocks
+    like nsw._materialize_inline to avoid multi-GB relayout
+    intermediates."""
     cap, W0 = adj.shape
     W = fused_width(W0)
     words = int(np.prod(points.shape[1:]))
     REP = LANES // W
     if words % REP != 0:
         raise ValueError(f"words={words} not divisible by REP={REP}")
-    S = 1 + words // REP
+    S = fused_subrows(W, words)
     tile = max(1, min(cap, 8192))
     n_tiles = -(-cap // tile)
     out = jnp.zeros((cap, S, LANES), jnp.uint32)
@@ -99,6 +111,11 @@ def materialize_fused(points, adj):
             )
         # [tile, W, words] -> [tile, words, W] -> [tile, words//REP, REP*W]
         data = jnp.swapaxes(g, 1, 2).reshape(tile, words // REP, LANES)
+        pad = S - 1 - words // REP
+        if pad:
+            data = jnp.concatenate(
+                [data, jnp.zeros((tile, pad, LANES), data.dtype)], axis=1
+            )
         row = jnp.concatenate([hdr, data.astype(jnp.uint32)], axis=1)
         return jax.lax.dynamic_update_slice(out, row, (start, 0, 0))
 
@@ -191,7 +208,8 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
                  dma_unroll=256, dma_mode="loop"):
     TOT = 2 * half
     REP = LANES // W
-    S = 1 + words // REP
+    S = fused_subrows(W, words)   # table subrows (header + data + pad)
+    SD = words // REP             # data subrows
     MASK = np.int32((1 << id_bits) - 1)
     KINF = np.int32(key_inf)
     BIG = np.int32(0x7FFFFFFF)
@@ -253,7 +271,7 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
                     jax.lax.fori_loop(0, bq, drain, 0, unroll=_unroll)
 
             # ---- distances: XOR + popcount, sublane sum + lane fold --------
-            data = rows[:, 1:, :]  # [bq, S-1, 128]
+            data = rows[:, 1 : 1 + SD, :]  # [bq, SD, 128]
             pc = jax.lax.population_count(
                 jnp.bitwise_xor(data, qt_ref[:])
             ).astype(jnp.int32)
@@ -352,7 +370,7 @@ def fused_beam_search(
     key_inf = (max_d + 1) << id_bits
     if id_bits + (max_d + 1).bit_length() > 31:
         raise ValueError("packed key overflows int32")
-    qt = query_tiles(queries, W)  # [B, S-1, 128]
+    qt = query_tiles(queries, W)  # [B, words//REP, 128]
     kernel, S = _make_kernel(
         ef=ef, half=half, W=W, words=words, id_bits=id_bits,
         key_inf=key_inf, max_steps=max_steps, bq=block_q, cap=cap,
@@ -368,8 +386,10 @@ def fused_beam_search(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((block_q, S - 1, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_q, qt.shape[1], LANES), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((block_q, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),

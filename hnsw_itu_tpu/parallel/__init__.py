@@ -1,5 +1,6 @@
 from .mesh import AXIS, make_mesh, replicate, shard_leading
-from .sharded import ShardedNSW, knns_query_sharded, sharded_build_step
+from .sharded import (ShardedHNSW, ShardedNSW, knns_query_sharded,
+                      sharded_build_step)
 
 __all__ = [
     "AXIS",
@@ -7,6 +8,7 @@ __all__ = [
     "replicate",
     "shard_leading",
     "ShardedNSW",
+    "ShardedHNSW",
     "knns_query_sharded",
     "sharded_build_step",
 ]

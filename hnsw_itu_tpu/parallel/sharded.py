@@ -47,18 +47,27 @@ from .mesh import AXIS, make_mesh, replicate, shard_leading
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh"),
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh",
+                     "entry_sample"),
 )
 def _sharded_query_step(
     points_s, adj_s, ep_s, off_s, n_s, qs, *, k, ef, metric_name, expand,
-    max_steps, mesh
+    max_steps, mesh, entry_sample=0
 ):
     metric = get_metric(metric_name)
 
     def step(points_b, adj_b, ep_b, off_b, n_b, q):
         points, adj = points_b[0], adj_b[0]
         cap = adj.shape[0]
-        eps = jnp.full((q.shape[0],), ep_b[0], jnp.int32)
+        if entry_sample > 0:
+            # per-shard MXU sampled entry — the role the HNSW hierarchy
+            # plays on CPU (see ShardedHNSW)
+            from ..ops.entry import sampled_entry
+
+            eps = sampled_entry(points, q, n_b[0],
+                                sample_size=entry_sample, metric=metric)
+        else:
+            eps = jnp.full((q.shape[0],), ep_b[0], jnp.int32)
         res = batched_beam_search(
             lambda ids: points[ids],
             adj,
@@ -232,40 +241,64 @@ class ShardedNSW:
         self.metric = get_metric(metric) if isinstance(metric, str) else metric
         self.opts = opts
         self.query_expand = 1
+        self.query_entry_sample = 0  # >0: per-shard MXU sampled entry
         self.max_steps = 2048
 
     @classmethod
     def build(cls, points, opts: IndexOptions, metric="hamming",
               mesh: Mesh | None = None):
-        """Split contiguously into S shards; build each subgraph with the
-        single-device batched builder; lay the stacked arrays over the mesh."""
+        """Split contiguously into S shards and build ALL subgraphs at once
+        on the mesh: every progressive chunk is one ``sharded_build_step``
+        — a single shard_map dispatch running the batched search-then-mutate
+        round on every device simultaneously (the multi-device analogue of
+        the reference's rayon build parallelism, nsw.rs:224-277)."""
         mesh = mesh or make_mesh()
         S = mesh.devices.size
         pts = np.asarray(points)
         n = pts.shape[0]
         cap_s = -(-n // S)
-        ptss, adjs, degs, eps, offs, ns = [], [], [], [], [], []
+        stacked = np.zeros((S, cap_s, *pts.shape[1:]), pts.dtype)
+        ns = np.zeros((S,), np.int32)
         for s in range(S):
             part = pts[s * cap_s : min((s + 1) * cap_s, n)]
-            o = IndexOptions(**{**opts.__dict__, "size": cap_s})
-            b = NSWBuilder(o, metric=metric)
-            if part.shape[0] > 0:
-                b.extend_batched(part)
-            ptss.append(np.asarray(b.points) if b.points is not None
-                        else np.zeros((cap_s, *pts.shape[1:]), pts.dtype))
-            adjs.append(np.asarray(b.graph.adj))
-            degs.append(np.asarray(b.graph.deg))
-            eps.append(b.ep if b.ep is not None else 0)
-            offs.append(s * cap_s)
-            ns.append(part.shape[0])
-        points_s = shard_leading(mesh, jnp.asarray(np.stack(ptss)))
-        adj_s = shard_leading(mesh, jnp.asarray(np.stack(adjs)))
-        deg_s = shard_leading(mesh, jnp.asarray(np.stack(degs)))
+            stacked[s, : part.shape[0]] = part
+            ns[s] = part.shape[0]
+        offs = np.arange(S, dtype=np.int32) * cap_s
+
+        # device state: all points uploaded once (chunk writes are
+        # idempotent re-writes); shard row 0 is each shard's entry point
+        # (nsw.rs:300-313 applied per shard), edgeless until its first
+        # chunk links back to it
+        points_s = shard_leading(mesh, jnp.asarray(stacked))
+        adj_s = shard_leading(
+            mesh, jnp.full((S, cap_s, opts.max_connections), -1, jnp.int32)
+        )
+        deg_s = shard_leading(mesh, jnp.zeros((S, cap_s), jnp.int32))
+        ep_s = shard_leading(mesh, jnp.zeros((S,), jnp.int32))
+        n_s = shard_leading(
+            mesh, jnp.asarray(np.minimum(ns, 1), jnp.int32)
+        )
+
+        pos = 1
+        for c in _build.chunk_schedule(
+            1, max(0, cap_s - 1), max_chunk=opts.batch_size
+        ):
+            chunk = stacked[:, pos : pos + c]
+            valid = (pos + np.arange(c)[None, :]) < ns[:, None]
+            points_s, adj_s, deg_s, n_s = sharded_build_step(
+                points_s, adj_s, deg_s, ep_s, n_s,
+                shard_leading(mesh, jnp.asarray(chunk)),
+                shard_leading(mesh, jnp.asarray(valid)),
+                efc=opts.ef_construction, m=opts.connections,
+                metric_name=metric if isinstance(metric, str) else metric.name,
+                expand=opts.expand, prune_budget=opts.prune_budget, mesh=mesh,
+            )
+            pos += c
         return cls(
             mesh,
             points_s,
             (adj_s, deg_s),
-            shard_leading(mesh, jnp.asarray(eps, jnp.int32)),
+            ep_s,
             shard_leading(mesh, jnp.asarray(offs, jnp.int32)),
             shard_leading(mesh, jnp.asarray(ns, jnp.int32)),
             metric,
@@ -290,12 +323,38 @@ class ShardedNSW:
             expand=self.query_expand,
             max_steps=self.max_steps,
             mesh=self.mesh,
+            entry_sample=self.query_entry_sample,
         )
         return KnnResult(d, i)
 
     def search(self, query, k: int, ef: int) -> KnnResult:
         r = self.knns(np.asarray(query)[None], k, ef)
         return KnnResult(r.dists[0], r.ids[0])
+
+
+class ShardedHNSW(ShardedNSW):
+    """Index-sharded hierarchical index, TPU-redesigned.
+
+    The reference's hierarchy exists to find a good base-layer entry point
+    in O(log n) pointer hops (hnsw.rs:278-300) — a latency trick for one
+    CPU thread. Sharded across a mesh, the same role is played by a
+    per-shard MXU sampled entry: each device scores its shard's first
+    ``entry_sample`` points against the whole query batch in one dense
+    block and starts its beam at the argmin (ops/entry.py). That is the
+    substitution the single-chip flagship path already uses
+    (models/hnsw.py: entry_sample skips the descent), here applied
+    per shard under shard_map; construction runs the same
+    ``sharded_build_step`` rounds as ShardedNSW — per-shard flat graphs
+    with sampled entries measure recall-equivalent to per-shard
+    hierarchies at equal ef while keeping every shard's step identical
+    (no ragged per-level state across devices).
+    """
+
+    DEFAULT_ENTRY_SAMPLE = 1024
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.query_entry_sample = self.DEFAULT_ENTRY_SAMPLE
 
 
 def knns_query_sharded(index, queries, k: int, ef: int,
@@ -318,7 +377,7 @@ def knns_query_sharded(index, queries, k: int, ef: int,
         ef=ef,
         metric_name=index.metric.name,
         expand=index.query_expand,
-        max_steps=index.max_steps,
+        max_steps=index._steps_cap(ef),
         mesh=mesh,
     )
     return KnnResult(d[:nq], i[:nq])

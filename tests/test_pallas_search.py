@@ -11,6 +11,7 @@ from hnsw_itu_tpu.ops.metrics import get_metric
 from hnsw_itu_tpu.ops.pallas_search import (
     LANES,
     fused_beam_search,
+    fused_subrows,
     fused_width,
     materialize_fused,
     query_tiles,
@@ -34,7 +35,11 @@ def test_fused_table_layout():
     table = np.asarray(materialize_fused(jnp.asarray(pts), jnp.asarray(adj)))
     W = fused_width(w)
     REP = LANES // W
-    assert table.shape == (cap, 1 + words // REP, LANES)
+    S = fused_subrows(W, words)
+    assert S % 8 == 0  # exact (8, 128) tiling: no hidden pad or relayout
+    assert table.shape == (cap, S, LANES)
+    # pad subrows are zero
+    assert (table[:, 1 + words // REP :, :] == 0).all()
     # header subrow: adjacency ids (two's complement), -1 beyond width
     hdr = table[:, 0, :].astype(np.int64)
     hdr = np.where(hdr >= 2**31, hdr - 2**32, hdr)

@@ -60,6 +60,77 @@ def test_sharded_merge_is_sorted(mesh):
     assert (d[:, 0] == 0).all()  # the point itself
 
 
+def test_sharded_build_step_semantics(mesh):
+    """One sharded_build_step: every shard appends its chunk, links it into
+    the shard subgraph, and counts only valid rows."""
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.parallel import shard_leading, sharded_build_step
+
+    S, cap, W, c = 8, 64, 8, 6
+    rng = np.random.default_rng(5)
+    pts0 = rng.integers(0, 2**32, size=(S, cap, 32), dtype=np.uint32)
+    points_s = shard_leading(mesh, jnp.asarray(pts0))
+    adj_s = shard_leading(mesh, jnp.full((S, cap, W), -1, jnp.int32))
+    deg_s = shard_leading(mesh, jnp.zeros((S, cap), jnp.int32))
+    ep_s = shard_leading(mesh, jnp.zeros((S,), jnp.int32))
+    n_s = shard_leading(mesh, jnp.ones((S,), jnp.int32))
+    valid = np.ones((S, c), bool)
+    valid[-1, -2:] = False  # ragged last shard
+
+    points_s, adj_s, deg_s, n_s = sharded_build_step(
+        points_s, adj_s, deg_s, ep_s, n_s,
+        shard_leading(mesh, jnp.asarray(pts0[:, 1 : 1 + c])),
+        shard_leading(mesh, jnp.asarray(valid)),
+        efc=16, m=4, metric_name="hamming", expand=1, prune_budget=16,
+        mesh=mesh,
+    )
+    n = np.asarray(n_s)
+    assert n.tolist() == [1 + c] * (S - 1) + [1 + c - 2]
+    adj = np.asarray(adj_s)
+    deg = np.asarray(deg_s)
+    for s in range(S):
+        # every inserted node got linked (at least to the entry point)
+        for v in range(1, n[s]):
+            assert deg[s, v] >= 1
+        # no edges point at never-inserted rows
+        live = adj[s][adj[s] >= 0]
+        assert (live < n[s]).all()
+        # rows hold no duplicate neighbors (fused-kernel invariant)
+        for v in range(n[s]):
+            row = adj[s, v][: deg[s, v]]
+            assert len(set(row.tolist())) == len(row)
+
+
+def test_sharded_hnsw_recall(mesh):
+    from hnsw_itu_tpu.parallel import ShardedHNSW
+
+    rng = np.random.default_rng(11)
+    n, nq, k = 1600, 24, 10
+    centers = rng.integers(0, 2**32, size=(16, 32), dtype=np.uint32)
+    pts = centers[rng.integers(0, 16, size=n)] ^ np.packbits(
+        rng.random((n, 1024)) < 0.05, axis=-1).view(np.uint32)
+    qs = pts[:nq] ^ np.uint32(3)
+
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt = bf.build().knns(qs, k)
+
+    opts = IndexOptions(host_warmup=0, ef_construction=48, connections=12,
+                        max_connections=24, size=n, batch_size=64,
+                        entry_sample=0)
+    idx = ShardedHNSW.build(pts, opts, metric="hamming", mesh=mesh)
+    assert idx.query_entry_sample > 0  # sampled entry replaces the descent
+    r = idx.knns(qs, k, ef=64)
+    ids = np.asarray(r.ids)
+    assert (ids[:, 0] == np.arange(nq)).all()
+    hits = sum(
+        len(set(ids[i].tolist()) & set(np.asarray(gt.ids[i]).tolist()))
+        for i in range(nq)
+    )
+    assert hits / (nq * k) >= 0.8
+
+
 def test_query_sharded_matches_single(mesh):
     rng = np.random.default_rng(9)
     n, nq = 500, 16
