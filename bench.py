@@ -85,9 +85,9 @@ def main():
     # timed query runs (first run includes compile; take best of 2 after)
     index.query_batch = 8192
     index.query_entry_sample = 1024
-    # cap the lockstep tail: mean convergence is ~12 steps; stragglers past
-    # ef steps contribute no recall (measured) but gate the whole batch
-    index.max_steps = EF
+    # leave max_steps at the auto cap (2*ef): hard-capping at ef costs
+    # ~2.3 recall points at 1M (measured); the lockstep tail past 2*ef is
+    # negligible
     index.enable_inline()
     import jax.numpy as jnp
 
