@@ -13,6 +13,7 @@ from .metrics import (
     sketches_to_u64,
     unpack_bits_u32,
 )
+from .pallas_search import fused_beam_search, materialize_fused
 from .search import SearchResult, batched_beam_search, beam_search, greedy_search
 from .select import select_neighbors
 from .topk import merge_min_k, min_k, sort_by_dist
@@ -31,6 +32,8 @@ __all__ = [
     "sketches_from_u64",
     "sketches_to_u64",
     "unpack_bits_u32",
+    "fused_beam_search",
+    "materialize_fused",
     "SearchResult",
     "batched_beam_search",
     "beam_search",
