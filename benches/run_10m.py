@@ -53,7 +53,7 @@ def main():
             e = min(s + 1_000_000, n)
             m = e - s
             flips = np.packbits(
-                rng.random((m, 1024)) < 0.08, axis=-1
+                rng.random((m, 1024), dtype=np.float32) < 0.08, axis=-1
             ).view(np.uint32)
             out[s:e] = centers[rng.integers(0, C, size=m)] ^ flips
         return out
@@ -77,6 +77,9 @@ def main():
 
     def prog(done):
         if done - last[1] >= 500_000 or done >= N:
+            # drain the dispatch queue: thousands of queued chunk programs
+            # wedge the remote terminal (observed: 100-minute dead drain)
+            np.asarray(b.base.deg[:1])
             now = time.perf_counter()
             print(f"#   {done}/{N} ({done*100//N}%) "
                   f"+{(now-last[0]):.0f}s", file=sys.stderr, flush=True)
@@ -89,6 +92,11 @@ def main():
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_10m.json")
+    with open(out_path, "w") as f:  # partial record survives a timeout
+        json.dump({"n_points": N, "build_seconds": round(build_s, 1),
+                   "levels": index.level_ns, "status": "built"}, f, indent=1)
 
     # exact ground truth on a 2048-query subset via the native host engine
     # (the device scan's bf16 bit table would be 20GB at 10M; recall over
@@ -131,8 +139,7 @@ def main():
         "query_path": "xla-packed-beam (fused table > HBM at 10M)",
     }
     print(json.dumps(rec))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "results_10m.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
 
 
