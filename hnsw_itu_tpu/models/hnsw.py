@@ -720,7 +720,8 @@ class HNSWBuilder:
             jnp.asarray(new_ids),
             sel,
             metric_name=self.metric.name,
-            prune_budget=self.opts.prune_budget,
+            prune_budget=min(lv.graph.adj.shape[0],
+                             max(self.opts.prune_budget, cpad)),
         )
         self.edge_drops.append(dropped)
         self.levels[l] = Level(lv.node_ids, lv.down, g)
@@ -753,7 +754,9 @@ class HNSWBuilder:
             m=self.opts.connections,
             metric_name=self.metric.name,
             expand=self.opts.expand,
-            prune_budget=self.opts.prune_budget,
+            # scale the prune budget with the chunk (see NSWBuilder)
+            prune_budget=min(self.opts.size,
+                             max(self.opts.prune_budget, cp)),
             entry_sample=self.opts.entry_sample,
             use_entry=use_entry,
             do_write=False,

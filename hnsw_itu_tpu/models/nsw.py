@@ -517,7 +517,11 @@ class NSWBuilder:
             m=self.opts.connections,
             metric_name=self.metric.name,
             expand=self.opts.expand,
-            prune_budget=self.opts.prune_budget,
+            # scale the prune budget with the chunk: a fixed 256 dropped
+            # 11% of reverse edges at 2M (5.4M drops) and cost ~4 recall
+            # points; one prune slot per inserted row bounds the loss
+            prune_budget=min(self.opts.size,
+                             max(self.opts.prune_budget, cp)),
             entry_sample=self.opts.entry_sample,
             use_entry=use_entry,
         )
