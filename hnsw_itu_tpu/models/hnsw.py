@@ -304,7 +304,7 @@ class HNSW:
                     n_levels=len(levels),
                     entry_sample=self.query_entry_sample,
                     W=fused_width(self.base.width),
-                    block_q=min(512, bp),
+                    block_q=min(256, bp),  # 512 overflows VMEM with the 24-subrow table
                 )
             else:
                 d, i, vis, st = _hnsw_query_step(

@@ -291,7 +291,7 @@ class NSW:
                     max_steps=self._steps_cap(ef),
                     entry_sample=self.query_entry_sample,
                     W=fused_width(self.graph.width),
-                    block_q=min(512, bp),
+                    block_q=min(256, bp),  # 512 overflows VMEM with the 24-subrow table
                 )
             elif self.adj_pts is not None:
                 d, i, vis, st = _query_step_inline(
