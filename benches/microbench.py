@@ -72,26 +72,30 @@ def bench_distance():
 
     aj, bj = jnp.asarray(a), jnp.asarray(b)
 
-    # XLA VPU broadcast path
-    f = jax.jit(lambda x, y: metric.pairwise(x, y))
-    f(aj[:256], bj).block_until_ready()
-    t = _time(lambda: np.asarray(f(aj[:256], bj)).sum())
+    # XLA VPU broadcast path (reduce on device: a [M,N] fetch would time
+    # the tunnel, not the kernel)
+    f = jax.jit(lambda x, y: jnp.sum(metric.pairwise(x, y)))
+    np.asarray(f(aj[:256], bj))
+    t = _time(lambda: np.asarray(f(aj[:256], bj)))
     _emit({"bench": "distance/xla_vpu_pairwise", "pairs": 256 * N,
            "secs": t, "gpairs_per_s": 256 * N / t / 1e9})
 
     # MXU bit-matmul identity
-    f = jax.jit(lambda x, y: metric.pairwise_mxu(x, y))
-    f(aj, bj).block_until_ready()
-    t = _time(lambda: np.asarray(f(aj, bj)).sum())
+    f = jax.jit(lambda x, y: jnp.sum(metric.pairwise_mxu(x, y)))
+    np.asarray(f(aj, bj))
+    t = _time(lambda: np.asarray(f(aj, bj)))
     _emit({"bench": "distance/mxu_pairwise", "pairs": pairs, "secs": t,
            "gpairs_per_s": pairs / t / 1e9})
 
-    # Pallas VPU tile kernel
-    f = jax.jit(lambda x, y: hamming_block(x, y))
-    f(aj, bj).block_until_ready()
-    t = _time(lambda: np.asarray(f(aj, bj)).sum())
-    _emit({"bench": "distance/pallas_block", "pairs": pairs, "secs": t,
-           "gpairs_per_s": pairs / t / 1e9})
+    # Pallas VPU tile kernel (skipped off-TPU or on kernel failure)
+    try:
+        f = jax.jit(lambda x, y: jnp.sum(hamming_block(x, y)))
+        np.asarray(f(aj, bj))
+        t = _time(lambda: np.asarray(f(aj, bj)))
+        _emit({"bench": "distance/pallas_block", "pairs": pairs, "secs": t,
+               "gpairs_per_s": pairs / t / 1e9})
+    except Exception as e:  # pragma: no cover
+        print(f"# pallas_block skipped: {type(e).__name__}", file=sys.stderr)
 
 
 def bench_beam_step():

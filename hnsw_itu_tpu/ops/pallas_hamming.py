@@ -28,15 +28,12 @@ def _hamming_kernel(a_ref, b_ref, out_ref):
     a = a_ref[:]  # [TM, W] uint32
     b = b_ref[:]  # [TN, W] uint32
 
-    def body(w, acc):
-        aw = jax.lax.dynamic_slice_in_dim(a, w, 1, axis=1)  # [TM, 1]
-        bw = jax.lax.dynamic_slice_in_dim(b, w, 1, axis=1)  # [TN, 1]
-        x = jnp.bitwise_xor(aw, jnp.transpose(bw))  # [TM, TN]
-        return acc + jax.lax.population_count(x).astype(jnp.int32)
-
-    out_ref[:] = jax.lax.fori_loop(
-        0, W, body, jnp.zeros(out_ref.shape, jnp.int32)
-    )
+    # static per-word slices (dynamic_slice has no Mosaic TPU lowering)
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for w in range(W):
+        x = jnp.bitwise_xor(a[:, w : w + 1], jnp.transpose(b[:, w : w + 1]))
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
