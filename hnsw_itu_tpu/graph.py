@@ -68,6 +68,7 @@ class AppendResult(NamedTuple):
     cols: jax.Array  # int32[E] column each edge was stored at (clamped)
     written: jax.Array  # bool[E] actually stored (False = dropped: row full)
     incoming: jax.Array  # int32[capacity+1] per-target incoming count
+    pos: jax.Array  # int32[E] unclamped landing position (>= W: overflow)
 
 
 def append_reverse_edges(
@@ -99,7 +100,7 @@ def append_reverse_edges(
     deg = g.deg.at[row].add(ok.astype(jnp.int32), mode="drop")
 
     incoming = jnp.zeros((cap + 1,), jnp.int32).at[t].add(1, mode="drop")
-    return AppendResult(GraphArrays(adj, deg), t, s, col, ok, incoming)
+    return AppendResult(GraphArrays(adj, deg), t, s, col, ok, incoming, pos)
 
 
 def prune_rows(
@@ -109,6 +110,8 @@ def prune_rows(
     nbr_pts: jax.Array,
     m_max: int,
     metric,
+    extra_ids: jax.Array | None = None,
+    extra_pts: jax.Array | None = None,
 ) -> GraphArrays:
     """Re-run the diversity heuristic over each listed node's neighborhood
     and rebuild its row — the degree-cap prune of insert_neighbors
@@ -119,11 +122,22 @@ def prune_rows(
       node_ids: int32[P] nodes to prune (< 0 entries are skipped).
       node_pts: [P, ...] the nodes' own points.
       nbr_pts:  [P, W, ...] gathered points of each node's current row.
+      extra_ids/extra_pts: optional [P, X] spilled candidates (reverse
+        edges that could not be appended because the row was already
+        full, -1 padded) — the batched analogue of the reference's rule
+        that the incoming edge participates in the prune's candidate set
+        (nsw.rs:113-127: candidates include the just-added edge).
     """
     cap, W = g.adj.shape
     safe = jnp.clip(node_ids, 0, cap - 1)
     rows = g.adj[safe]  # [P, W]
     valid = (rows >= 0) & (node_ids[:, None] >= 0)
+    if extra_ids is not None:
+        rows = jnp.concatenate([rows, extra_ids], axis=1)
+        valid = jnp.concatenate(
+            [valid, (extra_ids >= 0) & (node_ids[:, None] >= 0)], axis=1
+        )
+        nbr_pts = jnp.concatenate([nbr_pts, extra_pts], axis=1)
 
     def one(npt, row, v, cpts):
         d = metric.one_to_many(npt, cpts)

@@ -113,10 +113,19 @@ def search_select(
     return sel_ids, sel_d
 
 
+def make_spill(cap: int, width: int = 8) -> jax.Array:
+    """Persistent spill buffer: int32[cap+1, width], -1 = empty. Row t
+    holds reverse-edge sources bound for node t that could not be appended
+    because t's row was full. Entries persist across chunks until t is
+    pruned (they then join the prune candidate set and the row is
+    cleared). Row cap is the scatter junk row."""
+    return jnp.full((cap + 1, width), -1, jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "prune_budget"),
-    donate_argnums=(2, 5),
+    donate_argnums=(2, 5, 6),
 )
 def apply_inserts(
     points,
@@ -125,6 +134,7 @@ def apply_inserts(
     new_ids,
     sel_rows,
     adj_pts=None,
+    spill=None,
     *,
     metric_name: str,
     prune_budget: int = 256,
@@ -138,11 +148,18 @@ def apply_inserts(
       adj_pts: optional inline-neighbor rows [cap, W, ...] kept consistent
         with every mutation (forward rows, reverse appends, prunes) so
         construction searches can use the fast sequential-read path.
+      spill: optional persistent spill buffer (``make_spill``). Reverse
+        edges that could not be appended (target row full) land here and
+        join the target's prune candidate set — the batched analogue of
+        the reference's rule that the incoming edge participates in the
+        prune (nsw.rs:113-127). Rows holding spill entries get prune
+        priority, and pruned rows' spill entries are cleared (adopted or
+        rejected on merit). None disables the spill pass.
 
-    Returns (graph, adj_pts, n_dropped) where n_dropped counts reverse
-    edges lost because the target row was already full (they never enter
-    the row, so the prune pass cannot recover them — the measured price of
-    the batched relaxation of nsw.rs:129).
+    Returns (graph, adj_pts, spill, n_dropped). n_dropped counts reverse
+    edges UNRECOVERABLY lost: spilled past the buffer width. (Edges the
+    prune's diversity heuristic rejects on merit are not drops — the
+    reference prunes them the same way.)
     """
     metric = get_metric(metric_name)
     cap, W = graph.adj.shape
@@ -174,9 +191,6 @@ def apply_inserts(
     targets = jnp.where((sources >= 0) & (targets >= 0), targets, -1)
     res = append_reverse_edges(graph, targets, sources)
     graph = res.graph
-    n_dropped = jnp.sum(
-        ((~res.written) & (res.targets < cap)).astype(jnp.int32)
-    )
     if adj_pts is not None:
         row_t = jnp.where(res.written, res.targets, cap)
         src_pts = pts_of(res.sources)
@@ -185,9 +199,32 @@ def apply_inserts(
         col0 = res.cols[:, None] * words + jnp.arange(words)[None, :]
         adj_pts = adj_pts.at[row_t[:, None], col0].set(src_flat, mode="drop")
 
-    # budgeted degree-cap prune of overfull receivers (nsw.rs:105-130)
+    # spill: overflowed reverse edges (pos >= W) land AFTER any entries
+    # already spilled onto that row in earlier chunks
+    spilled = (~res.written) & (res.targets < cap)
+    spill_cnt = None
+    if spill is not None:
+        X = spill.shape[1]
+        spill_cnt = jnp.sum((spill >= 0).astype(jnp.int32), axis=1)  # [cap+1]
+        srank = res.pos - W + spill_cnt[jnp.clip(res.targets, 0, cap)]
+        s_ok = spilled & (srank < X)
+        spill = spill.at[
+            jnp.where(s_ok, res.targets, cap), jnp.clip(srank, 0, X - 1)
+        ].set(res.sources, mode="drop")
+        spill_cnt = jnp.sum((spill >= 0).astype(jnp.int32), axis=1)
+        n_dropped = jnp.sum((spilled & ~s_ok).astype(jnp.int32))
+    else:
+        n_dropped = jnp.sum(spilled.astype(jnp.int32))
+
+    # budgeted degree-cap prune of overfull receivers (nsw.rs:105-130);
+    # rows carrying spill entries outrank plain overfull rows so stuck
+    # spills drain at budget rate instead of persisting forever
     demand = deg_before + res.incoming[:cap]
     over = jnp.where(demand > W, demand, 0)
+    if spill_cnt is not None:
+        over = jnp.where(
+            spill_cnt[:cap] > 0, (W + 1 + spill_cnt[:cap]) << 8, over
+        )
     prune_budget = min(prune_budget, cap)
     _, prune_ids = jax.lax.top_k(over, prune_budget)
     prune_ids = jnp.where(over[prune_ids] > 0, prune_ids, -1).astype(jnp.int32)
@@ -196,14 +233,21 @@ def apply_inserts(
     node_pts = points[node_map[safe]]
     nbr_rows = graph.adj[safe]
     nbr_pts = pts_of(nbr_rows)
-    graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
-    if adj_pts is not None:
-        safe_t = jnp.where(prune_ids >= 0, prune_ids, cap)
-        new_rows = pts_of(graph.adj[safe])
-        adj_pts = adj_pts.at[safe_t].set(
-            new_rows.reshape(new_rows.shape[0], -1), mode="drop"
+    if spill is not None:
+        extra_ids = spill[safe]  # [P, X]
+        extra_ids = jnp.where(prune_ids[:, None] >= 0, extra_ids, -1)
+        extra_pts = pts_of(extra_ids)
+        graph = prune_rows(
+            graph, prune_ids, node_pts, nbr_pts, W, metric,
+            extra_ids=extra_ids, extra_pts=extra_pts,
         )
-    return graph, adj_pts, n_dropped
+        # pruned rows' spills are consumed (adopted or rejected on merit)
+        spill = spill.at[jnp.where(prune_ids >= 0, prune_ids, cap)].set(
+            -1, mode="drop"
+        )
+    else:
+        graph = prune_rows(graph, prune_ids, node_pts, nbr_pts, W, metric)
+    return graph, adj_pts, spill, n_dropped
 
 
 @functools.partial(
@@ -260,13 +304,14 @@ def search_select_window(
         "S", "efc", "m", "metric_name", "expand", "max_steps",
         "prune_budget", "entry_sample", "use_entry", "do_write",
     ),
-    donate_argnums=(0, 2, 3),
+    donate_argnums=(0, 2, 3, 4),
 )
 def chunk_step(
     points,
     node_map,
     graph: GraphArrays,
     adj_pts,
+    spill,
     chunk,
     new_ids,
     n0,
@@ -301,7 +346,7 @@ def chunk_step(
         (HNSW writes whole chunks before splitting into level groups whose
         rows are non-contiguous).
 
-    Returns (points, graph, adj_pts, n_dropped).
+    Returns (points, graph, adj_pts, spill, n_dropped).
     """
     metric = get_metric(metric_name)
     if do_write:
@@ -344,11 +389,11 @@ def chunk_step(
         sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
         sel = sel.reshape(cp, -1)
 
-    graph, adj_pts, dropped = apply_inserts(
-        points, node_map, graph, new_ids, sel, adj_pts,
+    graph, adj_pts, spill, dropped = apply_inserts(
+        points, node_map, graph, new_ids, sel, adj_pts, spill,
         metric_name=metric_name, prune_budget=prune_budget,
     )
-    return points, graph, adj_pts, dropped
+    return points, graph, adj_pts, spill, dropped
 
 
 @functools.partial(

@@ -281,14 +281,21 @@ class HNSW:
         B = self.query_batch
         out_d, out_i, out_v, out_s = [], [], [], []
         levels = tuple(self.levels)
-        use_fused = self.fused is not None and max(ef, k) <= 128
+        # fused kernel is fixed expand=1 (see NSW.knns); query_dedup is
+        # subsumed by the kernel's beam-dedup
+        use_fused = (
+            self.fused is not None
+            and max(ef, k) <= 128
+            and self.query_expand == 1
+        )
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
-            bp = b if b == B else 1 << (b - 1).bit_length()
             if use_fused:
                 from ..ops.pallas_search import fused_width
+                from .nsw import _fused_batch
 
+                bp, block_q = _fused_batch(b)
                 d, i, vis, st = _hnsw_query_step_fused(
                     self.points,
                     levels,
@@ -304,9 +311,10 @@ class HNSW:
                     n_levels=len(levels),
                     entry_sample=self.query_entry_sample,
                     W=fused_width(self.base.width),
-                    block_q=min(256, bp),  # 512 overflows VMEM with the 24-subrow table
+                    block_q=block_q,
                 )
             else:
+                bp = b if b == B else 1 << (b - 1).bit_length()
                 d, i, vis, st = _hnsw_query_step(
                     self.points,
                     levels,
@@ -356,6 +364,7 @@ class HNSWBuilder:
         self.level_ns: list[int] = []
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline base rows maintained during the build
+        self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
         # deterministic level RNG (hnsw.rs:24-30)
         self._rng = np.random.RandomState(rng_seed(self.opts))
@@ -503,6 +512,9 @@ class HNSWBuilder:
         return warm
 
     def build(self) -> HNSW:
+        self._drain_spill()
+        # spill entries never drained by a prune are lost: count as drops
+        self.edge_drops.append(jnp.sum((self.spill[:-1] >= 0).astype(jnp.int32)))
         # shrink level arrays from build capacity (generous, pow2 of the
         # expectation) to a snug pow2 of the actual node count — the level
         # inline rows would otherwise cost capacity x 8KB each
@@ -534,6 +546,24 @@ class HNSWBuilder:
             self.adj_pts = None
             h.enable_inline()  # fused table (or inline rows) + level rows
         return h
+
+    def _drain_spill(self, max_passes: int = 4):
+        """Prune-only passes on the BASE layer consuming leftover spill
+        entries (see NSWBuilder._drain_spill)."""
+        if self.points is None:
+            return
+        budget = min(self.opts.size,
+                     max(self.opts.prune_budget, self.opts.batch_size * 16))
+        for _ in range(max_passes):
+            if not bool(np.asarray(jnp.any(self.spill[:-1] >= 0))):
+                break
+            self.base, self.adj_pts, self.spill, _ = _build.apply_inserts(
+                self.points, self._node_map, self.base,
+                jnp.full((1,), -1, jnp.int32),
+                jnp.full((1, 1), -1, jnp.int32),
+                self.adj_pts, self.spill,
+                metric_name=self.metric.name, prune_budget=budget,
+            )
 
     # -- the chunk insert ------------------------------------------------------
     def _insert_chunk(self, chunk: np.ndarray, level: int | None = None):
@@ -713,12 +743,16 @@ class HNSWBuilder:
         new_ids = loc.astype(np.int32).copy()
         new_ids[n_valid:] = -1
         lv = self.levels[l]
-        g, _, dropped = _build.apply_inserts(
+        # levels are small and rarely overfull: per-chunk spill (fresh
+        # buffer) recovers row-full overflow without persistent state
+        g, _, _, dropped = _build.apply_inserts(
             self.points,
             lv.node_ids,
             lv.graph,
             jnp.asarray(new_ids),
             sel,
+            None,
+            _build.make_spill(lv.graph.adj.shape[0]),
             metric_name=self.metric.name,
             prune_budget=min(lv.graph.adj.shape[0],
                              max(self.opts.prune_budget, cpad)),
@@ -739,11 +773,13 @@ class HNSWBuilder:
         # population bound for sampled entry = rows before this chunk
         n_before = int(new_ids[0]) if n_valid > 0 else 0
         use_entry = eps_j is None
-        self.points, self.base, self.adj_pts, dropped = _build.chunk_step(
+        (self.points, self.base, self.adj_pts, self.spill,
+         dropped) = _build.chunk_step(
             self.points,
             self._node_map,
             self.base,
             self.adj_pts,
+            self.spill,
             qj,
             jnp.asarray(new_ids),
             jnp.int32(n_before),

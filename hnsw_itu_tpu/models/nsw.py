@@ -41,6 +41,17 @@ def _pad_rows_j(x: jax.Array, to: int) -> jax.Array:
     )
 
 
+def _fused_batch(b: int, max_block: int = 256) -> tuple[int, int]:
+    """(padded batch, block_q) for the fused kernel: the kernel requires
+    batch % block_q == 0, so small batches round up to a power of two and
+    large ones to a multiple of the block (a 1000-query batch must not
+    error where the XLA path accepted it)."""
+    if b <= max_block:
+        bp = 1 << max(0, (b - 1)).bit_length()
+        return max(bp, 8), max(bp, 8)
+    return -(-b // max_block) * max_block, max_block
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup",
@@ -136,7 +147,12 @@ def _fused_query_eligible(points, adj, metric) -> bool:
     max_d = words * 32
     if id_bits + (max_d + 1).bit_length() > 31:
         return False
-    need = cap * (1 + words * W // LANES) * LANES * points.dtype.itemsize
+    # the table allocates fused_subrows per row (rounded UP to a multiple
+    # of 8 for exact (8, 128) tiling) — estimating with the unrounded
+    # subrow count under-counts by up to ~1.6x and OOMs post-eligibility
+    from ..ops.pallas_search import fused_subrows
+
+    need = cap * fused_subrows(W, words) * LANES * points.dtype.itemsize
     return need <= int(float(os.environ.get(
         "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
 
@@ -270,11 +286,21 @@ class NSW:
         nq = qs.shape[0]
         B = self.query_batch
         out_d, out_i, out_v, out_s = [], [], [], []
-        use_fused = self.fused is not None and max(ef, k) <= 128
+        # the fused kernel is fixed expand=1; a user-set query_expand falls
+        # back to the XLA path (query_dedup is subsumed: the kernel's
+        # beam-dedup measures recall-equal to bitmask at equal ef)
+        use_fused = (
+            self.fused is not None
+            and max(ef, k) <= 128
+            and self.query_expand == 1
+        )
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
-            bp = b if b == B else 1 << (b - 1).bit_length()
+            if use_fused:
+                bp, block_q = _fused_batch(b)
+            else:
+                bp = b if b == B else 1 << (b - 1).bit_length()
             qb = _pad_rows_j(q, bp)
             if use_fused:
                 from ..ops.pallas_search import fused_width
@@ -291,7 +317,7 @@ class NSW:
                     max_steps=self._steps_cap(ef),
                     entry_sample=self.query_entry_sample,
                     W=fused_width(self.graph.width),
-                    block_q=min(256, bp),  # 512 overflows VMEM with the 24-subrow table
+                    block_q=block_q,
                 )
             elif self.adj_pts is not None:
                 d, i, vis, st = _query_step_inline(
@@ -354,6 +380,7 @@ class NSWBuilder:
         self.graph = make_graph(self.opts.size, self.opts.max_connections)
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline rows maintained during the build
+        self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
 
     def total_edge_drops(self) -> int:
@@ -455,6 +482,10 @@ class NSWBuilder:
         return warm
 
     def build(self) -> NSW:
+        self._drain_spill()
+        # spill entries never drained by a prune are lost for good: count
+        # them as drops so the logged rate stays honest
+        self.edge_drops.append(jnp.sum((self.spill[:-1] >= 0).astype(jnp.int32)))
         nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
                   self.opts)
         if self.adj_pts is not None:
@@ -471,6 +502,26 @@ class NSWBuilder:
         return nsw
 
     # -- internals ------------------------------------------------------------
+    def _drain_spill(self, max_passes: int = 4):
+        """Prune-only passes that consume leftover spill entries. A chunk
+        whose new spills outnumber its prune budget defers them (boosted
+        rows drain in the NEXT chunk's prune) — after the last chunk there
+        is no next chunk, so drain explicitly before sealing the index."""
+        if self.points is None:
+            return
+        budget = min(self.opts.size,
+                     max(self.opts.prune_budget, self.opts.batch_size * 16))
+        for _ in range(max_passes):
+            if not bool(np.asarray(jnp.any(self.spill[:-1] >= 0))):
+                break
+            self.graph, self.adj_pts, self.spill, _ = _build.apply_inserts(
+                self.points, self._node_map, self.graph,
+                jnp.full((1,), -1, jnp.int32),
+                jnp.full((1, 1), -1, jnp.int32),
+                self.adj_pts, self.spill,
+                metric_name=self.metric.name, prune_budget=budget,
+            )
+
     def _insert_chunk(self, chunk: np.ndarray):
         """One bulk-synchronous round in ONE device dispatch
         (_build.chunk_step): point write + entry block + all search windows
@@ -502,11 +553,13 @@ class NSWBuilder:
         use_entry = (
             self.opts.entry_sample > 0 and n0 > self.opts.entry_sample
         )
-        self.points, self.graph, self.adj_pts, dropped = _build.chunk_step(
+        (self.points, self.graph, self.adj_pts, self.spill,
+         dropped) = _build.chunk_step(
             self.points,
             self._node_map,
             self.graph,
             self.adj_pts,
+            self.spill,
             qj,
             jnp.asarray(new_ids),
             jnp.int32(n0),

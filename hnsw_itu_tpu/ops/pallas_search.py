@@ -411,5 +411,11 @@ def fused_beam_search(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        # the kernel's scratch is fully static (it does NOT grow with
+        # max_steps); raise the compiler's default scoped-VMEM budget so
+        # block_q=512 fits (v5e has 128MB physical VMEM)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(qt, init_keys.reshape(B, 1), table)
     return keys, vis[:, 0], stp[:, 0]

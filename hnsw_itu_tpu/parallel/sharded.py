@@ -159,12 +159,17 @@ def sharded_build_step(
             expand=expand,
         )
         new_ids = jnp.where(valid, n + jnp.arange(c, dtype=jnp.int32), -1)
-        g, _, _ = _build.apply_inserts(
+        # per-chunk spill (fresh buffer): recovers row-full overflow within
+        # the chunk; persistent spill state is not threaded through the
+        # sharded step (its chunks are large, so per-chunk covers most)
+        g, _, _, _ = _build.apply_inserts(
             points,
             node_map,
             GraphArrays(adj, deg),
             new_ids,
             sel_ids,
+            None,
+            _build.make_spill(cap),
             metric_name=metric_name,
             prune_budget=prune_budget,
         )

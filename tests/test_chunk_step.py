@@ -35,8 +35,9 @@ def test_chunk_step_matches_windowed_path():
     adj_np, deg_np = np.asarray(graph.adj), np.asarray(graph.deg)
 
     # fused: one dispatch
-    p1, g1, _, d1 = _build.chunk_step(
-        points, node_map, graph, None, jnp.asarray(chunk),
+    p1, g1, _, _, d1 = _build.chunk_step(
+        points, node_map, graph, None, _build.make_spill(cap),
+        jnp.asarray(chunk),
         jnp.asarray(new_ids), jnp.int32(n0), jnp.int32(0), jnp.int32(c),
         S=S, efc=efc, m=m, metric_name="hamming", expand=1,
         prune_budget=64, entry_sample=0, use_entry=False,
@@ -56,9 +57,9 @@ def test_chunk_step_matches_windowed_path():
             S=S, efc=efc, m=m, metric_name="hamming", expand=1,
         )
         sel_parts.append(sel)
-    g2, _, d2 = _build.apply_inserts(
+    g2, _, _, d2 = _build.apply_inserts(
         points2, node_map, graph, jnp.asarray(new_ids),
-        jnp.concatenate(sel_parts), None,
+        jnp.concatenate(sel_parts), None, _build.make_spill(cap),
         metric_name="hamming", prune_budget=64,
     )
 
@@ -80,8 +81,9 @@ def test_chunk_step_skips_padding_windows():
     new_ids = np.full((cpad,), -1, np.int32)
     new_ids[:c] = n0 + np.arange(c)
 
-    _, g1, _, _ = _build.chunk_step(
-        points, node_map, graph, None, jnp.asarray(chunk),
+    _, g1, _, _, _ = _build.chunk_step(
+        points, node_map, graph, None, _build.make_spill(cap),
+        jnp.asarray(chunk),
         jnp.asarray(new_ids), jnp.int32(n0), jnp.int32(0), jnp.int32(c),
         S=S, efc=16, m=8, metric_name="hamming", expand=1,
         prune_budget=32, entry_sample=0, use_entry=False,
