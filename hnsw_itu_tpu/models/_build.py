@@ -397,6 +397,141 @@ def chunk_step(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("S", "efc", "m", "metric_name", "expand", "max_steps",
+                     "prune_budget"),
+    donate_argnums=(2,),
+)
+def level_chunk_step(
+    points,
+    node_ids,
+    graph: GraphArrays,
+    down,
+    chunk,
+    new_loc,
+    eps,
+    n_valid,
+    *,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    prune_budget: int = 256,
+):
+    """One WHOLE upper-level insert group in a single dispatch — the level
+    analogue of ``chunk_step`` (hnsw.rs:111-139 per layer). Runs every
+    search window (lax.map), filters self-links, applies the mutation, and
+    chains the entry points for the level below through ``down``.
+
+    The eager per-window loop this replaces cost one device dispatch per
+    window per level (a "small dispatch storm" that stalled ~3 chunks per
+    100k build on the remote tunnel backend).
+
+    Args:
+      node_ids: int32[cap_l] local slot -> base point row.
+      down: int32[cap_l] local slot -> slot in the level below.
+      chunk: [cp, ...] padded group rows.
+      new_loc: int32[cp] local slots being inserted (-1 padding).
+      eps: int32[cp] per-row entry slot (this level's space).
+
+    Returns (graph, next_eps, n_dropped) with next_eps int32[cp] in the
+    LOWER level's id space.
+    """
+    cap_l = graph.adj.shape[0]
+    cp = chunk.shape[0]
+
+    def real_win(s):
+        qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
+        ep_w = jax.lax.dynamic_slice_in_dim(eps, s, S, axis=0)
+        valid = (s + jnp.arange(S, dtype=jnp.int32)) < n_valid
+        sel_ids, _ = search_select(
+            points, node_ids, graph.adj, qs, valid, ep_w, None,
+            efc=efc, m=m, metric_name=metric_name, expand=expand,
+            max_steps=max_steps,
+        )
+        return sel_ids
+
+    def win(i):
+        s = i * S
+        return jax.lax.cond(
+            s < n_valid, real_win,
+            lambda _: jnp.full((S, m), -1, jnp.int32), s,
+        )
+
+    K = cp // S
+    if K <= 1:
+        sel = real_win(jnp.int32(0))
+    else:
+        sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
+        sel = sel.reshape(cp, -1)
+
+    # never link a node to itself (reachable only when this group seeded a
+    # brand-new layer and searched from its own first slot)
+    sel = jnp.where(sel == new_loc[:, None], -1, sel)
+
+    graph, _, _, dropped = apply_inserts(
+        points, node_ids, graph, new_loc, sel, None,
+        make_spill(cap_l),  # per-group spill: levels are small
+        metric_name=metric_name, prune_budget=prune_budget,
+    )
+    nearest = jnp.clip(sel[:, 0], 0, cap_l - 1)
+    next_eps = down[nearest]
+    return graph, next_eps, dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "metric_name", "expand", "max_steps"),
+)
+def level_descend_step(
+    points,
+    node_ids,
+    adj,
+    down,
+    chunk,
+    eps,
+    n_valid,
+    *,
+    S: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+):
+    """Greedy ef=1 descent through ONE level for a whole chunk in a single
+    dispatch (hnsw.rs:94-108): windows via lax.map, then follow ``down``."""
+    cap_l = adj.shape[0]
+    cp = chunk.shape[0]
+
+    def real_win(s):
+        qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
+        ep_w = jax.lax.dynamic_slice_in_dim(eps, s, S, axis=0)
+        valid = (s + jnp.arange(S, dtype=jnp.int32)) < n_valid
+        sel_ids, _ = search_select(
+            points, node_ids, adj, qs, valid, ep_w, None,
+            efc=1, m=1, metric_name=metric_name, expand=expand,
+            max_steps=max_steps,
+        )
+        return sel_ids
+
+    def win(i):
+        s = i * S
+        return jax.lax.cond(
+            s < n_valid, real_win,
+            lambda _: jnp.full((S, 1), -1, jnp.int32), s,
+        )
+
+    K = cp // S
+    if K <= 1:
+        sel = real_win(jnp.int32(0))
+    else:
+        sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
+        sel = sel.reshape(cp, -1)
+    return down[jnp.clip(sel[:, 0], 0, cap_l - 1)]
+
+
+@functools.partial(
     jax.jit, static_argnames=("sample_size", "metric_name")
 )
 def entry_step(points, qs, n, *, sample_size, metric_name):

@@ -690,75 +690,53 @@ class HNSWBuilder:
     # chunk arrays arrive bucket-padded; n_valid is the real row count.
 
     def _descend_level(self, l: int, chunk: np.ndarray, eps_j, n_valid: int):
+        """One dispatch per level (_build.level_descend_step)."""
         lv = self.levels[l]
-        sel, _ = self._search_select_level(
-            lv, chunk, eps_j, m=1, efc=1, n_valid=n_valid
-        )
-        local = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
-        return lv.down[local]
-
-    def _search_select_level(self, lv: Level, chunk, eps_j, m, efc, n_valid):
         cpad = chunk.shape[0]
         S = 1 if cpad == 1 else min(self.opts.batch_size, cpad)
-        qj = jnp.asarray(np.asarray(chunk))
-        outs_i, outs_d = [], []
-        for s in range(0, cpad, S):
-            sel_ids, sel_d = _build.search_select_window(
-                self.points,
-                lv.node_ids,
-                lv.graph.adj,
-                qj,
-                eps_j,
-                jnp.int32(s),
-                jnp.int32(n_valid),
-                None,
-                S=S,
-                efc=efc,
-                m=m,
-                metric_name=self.metric.name,
-                expand=self.opts.expand,
-            )
-            outs_i.append(sel_ids)
-            outs_d.append(sel_d)
-        if len(outs_i) == 1:
-            return outs_i[0], outs_d[0]
-        return jnp.concatenate(outs_i), jnp.concatenate(outs_d)
+        return _build.level_descend_step(
+            self.points,
+            lv.node_ids,
+            lv.graph.adj,
+            lv.down,
+            jnp.asarray(np.asarray(chunk)),
+            eps_j,
+            jnp.int32(n_valid),
+            S=S,
+            metric_name=self.metric.name,
+            expand=self.opts.expand,
+        )
 
     def _insert_level(self, l: int, chunk, loc: np.ndarray, eps_j, n_valid):
+        """Whole level-group insert in ONE dispatch (_build.level_chunk_step:
+        search windows + self-link filter + mutation + down-chaining) — the
+        eager per-window loop this replaces was the builder's last
+        dispatch-storm stall."""
         lv = self.levels[l]
-        sel, _ = self._search_select_level(
-            lv, chunk, eps_j, m=self.opts.connections,
-            efc=self.opts.ef_construction, n_valid=n_valid,
-        )
-        # never link a node to itself (reachable only when this chunk seeded
-        # a brand-new layer and searched from its own first slot)
-        sel = jnp.where(sel == jnp.asarray(loc.astype(np.int32))[:, None], -1, sel)
-        self._apply_level(l, loc, sel, n_valid)
-        lv = self.levels[l]
-        nearest = jnp.clip(sel[:, 0], 0, lv.down.shape[0] - 1)
-        return lv.down[nearest]
-
-    def _apply_level(self, l: int, loc: np.ndarray, sel, n_valid):
-        cpad = loc.shape[0]
+        cpad = chunk.shape[0]
         new_ids = loc.astype(np.int32).copy()
         new_ids[n_valid:] = -1
-        lv = self.levels[l]
-        # levels are small and rarely overfull: per-chunk spill (fresh
-        # buffer) recovers row-full overflow without persistent state
-        g, _, _, dropped = _build.apply_inserts(
+        S = 1 if cpad == 1 else min(self.opts.batch_size, cpad)
+        g, next_eps, dropped = _build.level_chunk_step(
             self.points,
             lv.node_ids,
             lv.graph,
+            lv.down,
+            jnp.asarray(np.asarray(chunk)),
             jnp.asarray(new_ids),
-            sel,
-            None,
-            _build.make_spill(lv.graph.adj.shape[0]),
+            eps_j,
+            jnp.int32(n_valid),
+            S=S,
+            efc=self.opts.ef_construction,
+            m=self.opts.connections,
             metric_name=self.metric.name,
+            expand=self.opts.expand,
             prune_budget=min(lv.graph.adj.shape[0],
                              max(self.opts.prune_budget, cpad)),
         )
         self.edge_drops.append(dropped)
         self.levels[l] = Level(lv.node_ids, lv.down, g)
+        return next_eps
 
     def _insert_graph(self, chunk, base_ids: np.ndarray, eps_j, n_valid: int):
         """Base-layer insert in ONE device dispatch (_build.chunk_step; see

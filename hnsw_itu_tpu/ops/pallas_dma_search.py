@@ -1,0 +1,460 @@
+"""Large-N fused Pallas beam search: per-neighbor DMA, two-plane keys.
+
+Parity target: the reference hot loop ``nsw::search``
+(/root/reference/src/index/nsw.rs:133-184) at its FLAGSHIP scale (the 10M
+laion2B run, README.md:160-184). The small-N kernel (ops/pallas_search.py)
+needs a fused table (~8.7KB/node) that stops fitting HBM past ~1.5M nodes
+and a packed int32 (d, id) key that overflows past ~2M ids. This kernel
+removes both limits:
+
+  * keys are TWO int32 planes (distance, id) — sort networks compare
+    lexicographically and move both planes (plus the expanded-flag plane);
+    any N < 2^31 packs.
+  * per expansion it DMAs the node's adjacency row (512B) from a packed
+    2-nodes-per-row table, DEDUPS the candidates against the beam BEFORE
+    fetching (60%+ of neighbor fetches are duplicates), then issues one
+    512B DMA per FRESH neighbor from a packed 4-points-per-row table.
+    Total HBM per step ~= 0.5KB + fresh*0.5KB instead of the XLA gather
+    path's W random 128B gathers with no dedup.
+
+Packed layouts (both verified UNPADDED on hardware — [N, 1, 128] u32 rows
+are 512 bytes):
+
+  adj2: int32[ceil(cap/PA), 1, 128], PA = 128 // W. Node e's adjacency
+        occupies lanes (e % PA)*W .. +W of row e // PA (-1 = no edge).
+  pts4: uint32[ceil(cap/PP), 1, 128], PP = 128 // words. Node e's sketch
+        words occupy lanes (e % PP)*words .. +words of row e // PP.
+
+Mosaic constraints that shaped this kernel (measured on v5e via the axon
+tunnel, benches/exp_r3*.py): dynamic-trip-count fori_loops and 1-D flat
+DMAs crash the compiler — fetch loops are static W-trip with a
+``pl.when(id < BIG)`` gate per slot; DMA issue/wait loops must be fully
+unrolled or unroll=1; sublane-sliced VMEM DMA destinations
+(``rows.at[i, pl.ds(j, 1)]``) work at any offset.
+
+Semantics match ops/search.py's two-key beam path (dedup="beam",
+expand=1) exactly: same (distance, id) lexicographic order, same
+termination rule, same visited accounting.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DINF = np.int32(0x7FFF0000)  # > any hamming distance, headroom for compares
+IINF = np.int32(0x7FFFFFFF)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# packed tables (XLA side)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pack_adj(adj):
+    """adj int32[cap, W] -> int32[ceil(cap*W/128), 1, 128] (pure reshape:
+    row-major order is already the packed layout)."""
+    cap, W = adj.shape
+    if 128 % W != 0:
+        raise ValueError(f"W={W} must divide 128")
+    pa = 128 // W
+    cap_p = -(-cap // pa) * pa
+    a = adj
+    if cap_p != cap:
+        a = jnp.concatenate(
+            [a, jnp.full((cap_p - cap, W), -1, jnp.int32)], axis=0
+        )
+    return a.reshape(cap_p // pa, 1, LANES)
+
+
+@jax.jit
+def pack_points(points):
+    """points uint32[cap, words] -> uint32[ceil(cap*words/128), 1, 128]."""
+    cap = points.shape[0]
+    words = int(np.prod(points.shape[1:]))
+    if 128 % words != 0:
+        raise ValueError(f"words={words} must divide 128")
+    pp = 128 // words
+    cap_p = -(-cap // pp) * pp
+    p = points.reshape(cap, words)
+    if cap_p != cap:
+        p = jnp.concatenate(
+            [p, jnp.zeros((cap_p - cap, words), p.dtype)], axis=0
+        )
+    return p.reshape(cap_p // pp, 1, LANES)
+
+
+def query_rep(queries, words: int):
+    """Replicate each query's ``words`` sketch words across all 128 lanes
+    (PP copies) so one XOR covers whichever lane group the fetched point
+    landed in."""
+    B = queries.shape[0]
+    q = queries.reshape(B, words)
+    pp = LANES // words
+    return jnp.tile(q, (1, pp))  # [B, 128]
+
+
+# ---------------------------------------------------------------------------
+# two-plane bitonic networks (lex (d, id) order, flag payload)
+# ---------------------------------------------------------------------------
+
+
+def _roll(x, j):
+    L = x.shape[-1]
+    return pltpu.roll(x, L - j, axis=1)  # roll by -j (shift must be >= 0)
+
+
+def _cmpx2(d, i, f, j, asc):
+    """One bitonic compare-exchange at distance j on (d, i) lex keys with
+    optional flag payload. ``asc``: i1 array, True where ascending."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    up = (lane & j) == 0
+    pd = jnp.where(up, _roll(d, j), pltpu.roll(d, j, axis=1))
+    pi = jnp.where(up, _roll(i, j), pltpu.roll(i, j, axis=1))
+    want_min = jnp.logical_not(jnp.logical_xor(up, asc))
+    p_less = (pd < d) | ((pd == d) & (pi < i))
+    take = (want_min & p_less) | (jnp.logical_not(want_min) &
+                                  jnp.logical_not(p_less) &
+                                  ((pd != d) | (pi != i)))
+    nd = jnp.where(take, pd, d)
+    ni = jnp.where(take, pi, i)
+    if f is None:
+        return nd, ni, None
+    pf = jnp.where(up, _roll(f, j), pltpu.roll(f, j, axis=1))
+    return nd, ni, jnp.where(take, pf, f)
+
+
+def _bitonic_sort2(d, i, *, descending: bool):
+    """Full bitonic sort along lanes on (d, id) lex keys (no payload)."""
+    L = d.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    k = 2
+    while k <= L:
+        asc = (lane & k) == 0
+        if descending:
+            asc = jnp.logical_not(asc)
+        j = k // 2
+        while j >= 1:
+            d, i, _ = _cmpx2(d, i, None, j, asc)
+            j //= 2
+        k *= 2
+    return d, i
+
+
+def _bitonic_merge2(d, i, f):
+    """Ascending bitonic merge of (asc half || desc half) on lex keys,
+    carrying the flag plane."""
+    L = d.shape[-1]
+    asc = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) >= 0
+    j = L // 2
+    while j >= 1:
+        d, i, f = _cmpx2(d, i, f, j, asc)
+        j //= 2
+    return d, i, f
+
+
+def _bitonic_sort1(k, *, descending: bool):
+    """Single-plane bitonic sort (for fresh-candidate compaction)."""
+    L = k.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    s = 2
+    while s <= L:
+        asc = (lane & s) == 0
+        if descending:
+            asc = jnp.logical_not(asc)
+        j = s // 2
+        while j >= 1:
+            up = (lane & j) == 0
+            pk = jnp.where(up, _roll(k, j), pltpu.roll(k, j, axis=1))
+            want_min = jnp.logical_not(jnp.logical_xor(up, asc))
+            take = (want_min & (pk < k)) | (
+                jnp.logical_not(want_min) & (pk > k)
+            )
+            k = jnp.where(take, pk, k)
+            j //= 2
+        s *= 2
+    return k
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(*, ef, half, W, words, max_steps, bq, cap):
+    TOT = 2 * half
+    PA = LANES // W
+    PP = LANES // words
+    PA_SHIFT = PA.bit_length() - 1
+    PP_SHIFT = PP.bit_length() - 1
+
+    def kernel(q_ref, initd_ref, initi_ref, adj_hbm, pts_hbm,
+               outd_ref, outi_ref, vis_ref, stp_ref,
+               bd, bi, fb, arows, rows, eref, cref, sem):
+        bd[:] = jnp.full((bq, TOT), DINF, jnp.int32)
+        bi[:] = jnp.full((bq, TOT), IINF, jnp.int32)
+        bd[:, 0:1] = initd_ref[:]
+        bi[:, 0:1] = initi_ref[:]
+        fb[:] = jnp.zeros((bq, TOT), jnp.int32)
+        vis_ref[:] = jnp.ones((bq, 1), jnp.int32)
+        stp_ref[:] = jnp.zeros((bq, 1), jnp.int32)
+
+        def body(carry):
+            step, _ = carry
+            # ---- frontier: lex-min unexpanded (d, id) ----------------------
+            hd = bd[:, :half]
+            hi = bi[:, :half]
+            live = (fb[:, :half] == 0) & (hd < DINF)
+            md = jnp.min(jnp.where(live, hd, DINF), axis=1, keepdims=True)
+            mi = jnp.min(
+                jnp.where(live & (hd == md), hi, IINF), axis=1, keepdims=True
+            )
+            wd = bd[:, ef - 1 : ef]
+            wi = bi[:, ef - 1 : ef]
+            done = (md >= DINF) | (md > wd) | ((md == wd) & (mi > wi))
+            fb[:, :half] = jnp.where(
+                (hd == md) & (hi == mi) & jnp.logical_not(done),
+                1, fb[:, :half],
+            )
+            eid = jnp.minimum(jnp.maximum(mi, 0), cap - 1)
+            eref[:] = jnp.where(done, 0, eid)  # done -> fetch row 0 (masked)
+            stp_ref[:] = stp_ref[:] + jnp.where(done, 0, 1)
+
+            # ---- adjacency fetch: one 512B DMA per query -------------------
+            def a_issue(i, c):
+                pltpu.make_async_copy(
+                    adj_hbm.at[eref[i, 0] >> PA_SHIFT], arows.at[i], sem
+                ).start()
+                return c
+
+            jax.lax.fori_loop(0, bq, a_issue, 0, unroll=bq)
+
+            def a_wait(i, c):
+                pltpu.make_async_copy(
+                    adj_hbm.at[eref[i, 0] >> PA_SHIFT], arows.at[i], sem
+                ).wait()
+                return c
+
+            jax.lax.fori_loop(0, bq, a_wait, 0, unroll=bq)
+
+            # ---- extract this node's W lanes (static select over groups) --
+            row = arows[:, 0, :]  # [bq, 128] i32
+            if PA == 1:
+                nbr = row[:, :W]
+            else:
+                grp = eref[:] & (PA - 1)  # [bq, 1]
+                acc = jnp.where(grp == 0, row, 0)
+                for g in range(1, PA):
+                    acc = acc | jnp.where(
+                        grp == g, pltpu.roll(row, LANES - g * W, axis=1), 0
+                    )
+                nbr = acc[:, :W]
+
+            # ---- dedup vs beam BEFORE fetching -----------------------------
+            valid = (nbr >= 0) & jnp.logical_not(done)
+            dup = jnp.zeros((bq, W), jnp.int32)
+            bc = bi[:, :half]
+
+            def dd(it, c):
+                dup, bc = c
+                return dup | (nbr == bc[:, :W]).astype(jnp.int32), pltpu.roll(
+                    bc, 1, axis=1
+                )
+
+            dup, _ = jax.lax.fori_loop(0, half, dd, (dup, bc))
+            fresh = valid & (dup == 0)
+            vis_ref[:] = vis_ref[:] + jnp.sum(
+                fresh.astype(jnp.int32), axis=1, keepdims=True
+            )
+
+            # ---- compact fresh ids to a sorted prefix ----------------------
+            ck = jnp.where(fresh, nbr, IINF)
+            cref[:] = _bitonic_sort1(ck, descending=False)
+
+            # ---- per-fresh-neighbor point fetch (static trip, gated) -------
+            def p_issue(i, c):
+                def inner(j, c2):
+                    e = cref[i, j]
+
+                    @pl.when(e < IINF)
+                    def _():
+                        pltpu.make_async_copy(
+                            pts_hbm.at[e >> PP_SHIFT],
+                            rows.at[i, pl.ds(j, 1)], sem,
+                        ).start()
+
+                    return c2
+
+                return jax.lax.fori_loop(0, W, inner, c, unroll=W)
+
+            jax.lax.fori_loop(0, bq, p_issue, 0, unroll=1)
+
+            def p_wait(i, c):
+                def inner(j, c2):
+                    e = cref[i, j]
+
+                    @pl.when(e < IINF)
+                    def _():
+                        pltpu.make_async_copy(
+                            pts_hbm.at[e >> PP_SHIFT],
+                            rows.at[i, pl.ds(j, 1)], sem,
+                        ).wait()
+
+                    return c2
+
+                return jax.lax.fori_loop(0, W, inner, c, unroll=W)
+
+            jax.lax.fori_loop(0, bq, p_wait, 0, unroll=1)
+
+            # ---- distances: XOR + popcount, group-masked lane sum ----------
+            cids = cref[:]  # [bq, W]
+            pc = jax.lax.population_count(
+                jnp.bitwise_xor(rows[:], q_ref[:][:, None, :])
+            ).astype(jnp.int32)  # [bq, W, 128]
+            if PP == 1:
+                cd = jnp.sum(pc, axis=2)
+            else:
+                gl = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, W, LANES), 2
+                ) // words
+                mask = (gl == (cids & (PP - 1))[:, :, None]).astype(jnp.int32)
+                cd = jnp.sum(pc * mask, axis=2)  # [bq, W]
+            has = cids < IINF
+            cd = jnp.where(has, cd, DINF)
+            ci = jnp.where(has, cids, IINF)
+
+            # ---- merge: sort candidates desc, 3-plane bitonic merge --------
+            if W < half:
+                cd = jnp.concatenate(
+                    [cd, jnp.full((bq, half - W), DINF, jnp.int32)], axis=1
+                )
+                ci = jnp.concatenate(
+                    [ci, jnp.full((bq, half - W), IINF, jnp.int32)], axis=1
+                )
+            sd, si = _bitonic_sort2(cd, ci, descending=True)
+            bd[:, half:] = sd
+            bi[:, half:] = si
+            fb[:, half:] = jnp.zeros((bq, half), jnp.int32)
+            m_d, m_i, m_f = _bitonic_merge2(bd[:], bi[:], fb[:])
+            if ef < half:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (bq, TOT), 1)
+                evict = (lane >= ef) & (lane < half)
+                m_d = jnp.where(evict, DINF, m_d)
+                m_i = jnp.where(evict, IINF, m_i)
+                m_f = jnp.where(evict, 0, m_f)
+            bd[:] = m_d
+            bi[:] = m_i
+            fb[:] = m_f
+
+            alive = jnp.logical_not(jnp.all(done))
+            return step + 1, alive
+
+        def cond(carry):
+            step, alive = carry
+            return alive & (step < max_steps)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        outd_ref[:] = bd[:, :half]
+        outi_ref[:] = bi[:, :half]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "W", "words", "max_steps", "block_q", "interpret"),
+)
+def dma_beam_search(
+    adj2,
+    pts4,
+    queries,
+    init_d,
+    init_i,
+    *,
+    ef: int,
+    W: int,
+    words: int,
+    max_steps: int = 256,
+    block_q: int = 256,
+    interpret: bool = False,
+):
+    """Run the large-N fused search.
+
+    Args:
+      adj2/pts4: packed tables (``pack_adj`` / ``pack_points``).
+      queries: [B, words...] raw sketches (B a multiple of block_q).
+      init_d/init_i: int32[B] entry distances / ids (e.g. sampled entry).
+
+    Returns (dists int32[B, half], ids int32[B, half], visited int32[B],
+    steps int32[B]) ascending by (d, id); empty slots are (DINF, IINF).
+    """
+    B = queries.shape[0]
+    if B % block_q != 0:
+        raise ValueError(f"B={B} not a multiple of block_q={block_q}")
+    half = max(64, _next_pow2(ef), _next_pow2(W))
+    if half > LANES:
+        raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
+    pa = LANES // W
+    cap = adj2.shape[0] * pa
+    qr = query_rep(queries, words)  # [B, 128]
+    kernel = _make_kernel(
+        ef=ef, half=half, W=W, words=words, max_steps=max_steps,
+        bq=block_q, cap=cap,
+    )
+    grid = (B // block_q,)
+    outd, outi, vis, stp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, half), jnp.int32),
+            jax.ShapeDtypeStruct((B, half), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_q, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),    # beam distances
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),    # beam ids
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),    # expanded flags
+            pltpu.VMEM((block_q, 1, LANES), jnp.int32),    # adjacency rows
+            pltpu.VMEM((block_q, W, LANES), jnp.uint32),   # fetched points
+            pltpu.VMEM((block_q, 1), jnp.int32),           # expansion ids
+            pltpu.VMEM((block_q, W), jnp.int32),           # compacted fresh
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qr, init_d.reshape(B, 1), init_i.reshape(B, 1), adj2, pts4)
+    return outd, outi, vis[:, 0], stp[:, 0]

@@ -1,0 +1,128 @@
+"""Large-N fused DMA kernel (ops/pallas_dma_search.py): packed-layout
+goldens + exact equivalence with the XLA two-key beam path (interpret
+mode; hardware validation lives in benches/validate_dma.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hnsw_itu_tpu.ops.metrics import get_metric
+from hnsw_itu_tpu.ops.pallas_dma_search import (
+    DINF,
+    IINF,
+    dma_beam_search,
+    pack_adj,
+    pack_points,
+    query_rep,
+)
+from hnsw_itu_tpu.ops.search import batched_beam_search
+
+
+def _random_graph(rng, cap, w, words):
+    pts = rng.integers(0, 2**32, size=(cap, words), dtype=np.uint32)
+    adj = np.full((cap, w), -1, np.int32)
+    for i in range(cap):
+        deg = rng.integers(w // 2, w + 1)
+        adj[i, :deg] = rng.choice(cap, size=deg, replace=False)
+    return pts, adj
+
+
+def test_pack_layouts():
+    rng = np.random.default_rng(0)
+    cap, w, words = 100, 32, 32  # cap NOT a multiple of either pack factor
+    pts, adj = _random_graph(rng, cap, w, words)
+    a2 = np.asarray(pack_adj(jnp.asarray(adj)))
+    pa = 128 // w
+    assert a2.shape == (-(-cap // pa), 1, 128)
+    for e in (0, 57, cap - 1):
+        got = a2[e // pa, 0, (e % pa) * w : (e % pa) * w + w].astype(np.int64)
+        got = np.where(got >= 2**31, got - 2**32, got)
+        assert (got == adj[e]).all()
+    p4 = np.asarray(pack_points(jnp.asarray(pts)))
+    pp = 128 // words
+    assert p4.shape == (-(-cap // pp), 1, 128)
+    for e in (0, 57, cap - 1):
+        assert (p4[e // pp, 0, (e % pp) * words : (e % pp + 1) * words]
+                == pts[e]).all()
+
+
+def test_query_rep_layout():
+    rng = np.random.default_rng(1)
+    qs = rng.integers(0, 2**32, size=(4, 32), dtype=np.uint32)
+    qr = np.asarray(query_rep(jnp.asarray(qs), 32))
+    assert qr.shape == (4, 128)
+    for g in range(4):
+        assert (qr[:, g * 32 : (g + 1) * 32] == qs).all()
+
+
+@pytest.mark.parametrize("w,ef", [(32, 24), (64, 48), (64, 96), (128, 64)])
+def test_dma_matches_xla_two_key(w, ef):
+    """Bit-exact equivalence with the XLA beam path (dedup='beam',
+    expand=1): distances, ids, visited counts, and step counts."""
+    cap, words, B = 512, 32, 64
+    rng = np.random.default_rng(w * 1000 + ef)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    metric = get_metric("hamming")
+
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+    ref = batched_beam_search(
+        lambda ids: pts_j[ids], adj_j, qs_j, jnp.zeros((B,), jnp.int32),
+        ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+        dedup="beam",
+    )
+
+    d0 = jnp.sum(
+        jax.lax.population_count(qs_j ^ pts_j[0][None]), axis=1
+    ).astype(jnp.int32)
+    outd, outi, vis, stp = dma_beam_search(
+        pack_adj(adj_j), pack_points(pts_j), qs_j,
+        d0, jnp.zeros((B,), jnp.int32),
+        ef=ef, W=w, words=words, max_steps=256, block_q=B, interpret=True,
+    )
+    got_d = np.asarray(outd)[:, :ef]
+    got_i = np.asarray(outi)[:, :ef]
+    got_d = np.where(got_d >= DINF, np.iinfo(np.int32).max, got_d)
+    got_i = np.where(got_i >= IINF, np.iinfo(np.int32).max, got_i)
+    np.testing.assert_array_equal(got_d, np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i, np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref.visited))
+    np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
+
+
+def test_dma_matches_beyond_packed_key_range():
+    """ids that would overflow the packed int32 key (cap > 2^20 territory
+    is emulated by a sparse id space): the two-plane kernel must keep
+    exact (d, id) order regardless of id magnitude."""
+    # emulate big ids by spacing the graph across a huge virtual range:
+    # the kernel only requires ids < cap; use a moderate cap with the
+    # two-key XLA reference (which itself has no packing here because
+    # capacity forces the two-key branch via a fake large capacity).
+    cap, w, words, B, ef = 300, 16, 32, 64, 32
+    rng = np.random.default_rng(9)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    metric = get_metric("hamming")
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+    # capacity=2**24 forces the XLA two-key (non-packed) branch
+    ref = batched_beam_search(
+        lambda ids: pts_j[jnp.minimum(ids, cap - 1)], adj_j, qs_j,
+        jnp.zeros((B,), jnp.int32),
+        ef=ef, metric=metric, capacity=2**24, expand=1, max_steps=256,
+        dedup="beam",
+    )
+    d0 = jnp.sum(
+        jax.lax.population_count(qs_j ^ pts_j[0][None]), axis=1
+    ).astype(jnp.int32)
+    outd, outi, vis, stp = dma_beam_search(
+        pack_adj(adj_j), pack_points(pts_j), qs_j,
+        d0, jnp.zeros((B,), jnp.int32),
+        ef=ef, W=w, words=words, max_steps=256, block_q=B, interpret=True,
+    )
+    got_d = np.asarray(outd)[:, :ef]
+    got_i = np.asarray(outi)[:, :ef]
+    got_d = np.where(got_d >= DINF, np.iinfo(np.int32).max, got_d)
+    got_i = np.where(got_i >= IINF, np.iinfo(np.int32).max, got_i)
+    np.testing.assert_array_equal(got_d, np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i, np.asarray(ref.ids))
