@@ -188,7 +188,101 @@ def _bitonic_sort1(k, *, descending: bool):
 
 
 # ---------------------------------------------------------------------------
-# the kernel
+# minisketch table (ids + truncated sketches of all W neighbors per row)
+# ---------------------------------------------------------------------------
+
+
+def mini_subrows(W: int, mini_words: int) -> int:
+    """Subrows per mini-table row: (1 + mini_words) values per neighbor
+    (id + prefix words), W neighbors, 128 lanes. Must divide exactly so
+    the row is one id 'word' plus the prefix planes with no padding."""
+    tot = (1 + mini_words) * W
+    if tot % LANES != 0:
+        raise ValueError(
+            f"(1+mini_words)*W = {tot} must be a multiple of {LANES}"
+        )
+    return tot // LANES
+
+
+@functools.partial(jax.jit, static_argnames=("mini_words",))
+def materialize_mini(points, adj, *, mini_words: int):
+    """Build the inline minisketch table uint32[cap, S, 128].
+
+    Word-index t of neighbor n (t=0: adjacency id as uint32, 0xFFFFFFFF =
+    no edge; t>=1: sketch word t-1 of that neighbor) lands at subrow
+    (t*REP + r) // ... — laid out exactly like the fused table's data
+    plane (lane r*W + n = word-index s*REP + r), so the kernel's popcount
+    reduction is a sublane sum + lane fold with no transposes.
+
+    One 512*S-byte DMA per expansion then carries the ids AND enough
+    sketch bits (mini_words*32 per neighbor) to rank candidates — the
+    scalable replacement for the full fused table (8.7KB/node) that stops
+    fitting HBM past ~1.5M nodes. Search on these ESTIMATED distances,
+    then rerank the final beam with full sketches (rerank_exact).
+    """
+    cap, W0 = adj.shape
+    W = fused_width_(W0)
+    words = int(np.prod(points.shape[1:]))
+    if mini_words > words:
+        raise ValueError("mini_words > words")
+    REP = LANES // W
+    MV = 1 + mini_words  # values per neighbor (id + prefix words)
+    if MV % REP != 0:
+        raise ValueError(f"1+mini_words={MV} must be a multiple of {REP}")
+    S = mini_subrows(W, mini_words)
+    tile = max(1, min(cap, 8192))
+    n_tiles = -(-cap // tile)
+    out = jnp.zeros((cap, S, LANES), jnp.uint32)
+    pts2 = points.reshape(cap, words)
+
+    def body(i, out):
+        start = i * tile
+        a = jax.lax.dynamic_slice_in_dim(adj, start, tile, 0)
+        av = jnp.where(a >= 0, a, -1).astype(jnp.uint32)  # 0xFFFF... pad
+        if W != W0:
+            av = jnp.concatenate(
+                [av, jnp.full((tile, W - W0), 0xFFFFFFFF, jnp.uint32)],
+                axis=1,
+            )
+        g = pts2[jnp.clip(a, 0, cap - 1)][:, :, :mini_words]
+        if W != W0:
+            g = jnp.concatenate(
+                [g, jnp.zeros((tile, W - W0, mini_words), g.dtype)], axis=1
+            )
+        # v[n, t]: t=0 -> id, t>=1 -> prefix word t-1
+        v = jnp.concatenate([av[:, :, None], g.astype(jnp.uint32)], axis=2)
+        # [tile, W, MV] -> [tile, MV, W] -> [tile, MV//REP, REP*W]
+        row = jnp.swapaxes(v, 1, 2).reshape(tile, S, LANES)
+        return jax.lax.dynamic_update_slice(out, row, (start, 0, 0))
+
+    return jax.lax.fori_loop(0, n_tiles, body, out)
+
+
+def fused_width_(width: int) -> int:
+    if width > LANES:
+        raise ValueError(f"adjacency width {width} > {LANES}")
+    return min(LANES, max(1, _next_pow2(width)))
+
+
+def mini_query_tiles(queries, W: int, mini_words: int):
+    """Query tile matched to the mini-table layout: word-index 0 (the id
+    plane) is zeroed; word-index t>=1 carries query word t-1."""
+    B = queries.shape[0]
+    q = queries.reshape(B, -1)[:, :mini_words]
+    REP = LANES // W
+    MV = 1 + mini_words
+    v = jnp.concatenate(
+        [jnp.zeros((B, 1), q.dtype), q.astype(jnp.uint32)], axis=1
+    )  # [B, MV]
+    S = MV // REP
+    # tile lane r*W+n = word-index s*REP + r (same for all n)
+    v3 = v.reshape(B, S, REP, 1)
+    v3 = jnp.broadcast_to(v3, (B, S, REP, W))
+    return v3.reshape(B, S, LANES)
+
+
+# ---------------------------------------------------------------------------
+# the kernels
 # ---------------------------------------------------------------------------
 
 
@@ -369,6 +463,235 @@ def _make_kernel(*, ef, half, W, words, max_steps, bq, cap):
         outi_ref[:] = bi[:, :half]
 
     return kernel
+
+
+def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
+    TOT = 2 * half
+    REP = LANES // W
+    S = mini_subrows(W, mini_words)
+
+    def kernel(qt_ref, initd_ref, initi_ref, mini_hbm,
+               outd_ref, outi_ref, vis_ref, stp_ref,
+               bd, bi, fb, rows, eref, sem):
+        bd[:] = jnp.full((bq, TOT), DINF, jnp.int32)
+        bi[:] = jnp.full((bq, TOT), IINF, jnp.int32)
+        bd[:, 0:1] = initd_ref[:]
+        bi[:, 0:1] = initi_ref[:]
+        fb[:] = jnp.zeros((bq, TOT), jnp.int32)
+        vis_ref[:] = jnp.ones((bq, 1), jnp.int32)
+        stp_ref[:] = jnp.zeros((bq, 1), jnp.int32)
+
+        cand_lane = jax.lax.broadcasted_iota(jnp.int32, (bq, W), 1)
+
+        def body(carry):
+            step, _ = carry
+            hd = bd[:, :half]
+            hi = bi[:, :half]
+            live = (fb[:, :half] == 0) & (hd < DINF)
+            md = jnp.min(jnp.where(live, hd, DINF), axis=1, keepdims=True)
+            mi = jnp.min(
+                jnp.where(live & (hd == md), hi, IINF), axis=1, keepdims=True
+            )
+            wd = bd[:, ef - 1 : ef]
+            wi = bi[:, ef - 1 : ef]
+            done = (md >= DINF) | (md > wd) | ((md == wd) & (mi > wi))
+            fb[:, :half] = jnp.where(
+                (hd == md) & (hi == mi) & jnp.logical_not(done),
+                1, fb[:, :half],
+            )
+            eid = jnp.minimum(jnp.maximum(mi, 0), cap - 1)
+            eref[:] = jnp.where(done, 0, eid)
+            stp_ref[:] = stp_ref[:] + jnp.where(done, 0, 1)
+
+            # ---- ONE DMA per query: ids + prefix sketches of all W nbrs
+            def issue(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i], sem
+                ).start()
+                return c
+
+            jax.lax.fori_loop(0, bq, issue, 0, unroll=bq)
+
+            def wait(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i], sem
+                ).wait()
+                return c
+
+            jax.lax.fori_loop(0, bq, wait, 0, unroll=bq)
+
+            # ---- estimated distances: XOR + popcount, mask the id plane
+            pc = jax.lax.population_count(
+                jnp.bitwise_xor(rows[:], qt_ref[:])
+            ).astype(jnp.int32)  # [bq, S, 128]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bq, S, LANES), 2)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (bq, S, LANES), 1)
+            is_id = (sub == 0) & (lane < W)  # word-index 0
+            pc = jnp.where(is_id, 0, pc)
+            acc = jnp.sum(pc, axis=1)  # [bq, 128]
+            w = LANES
+            while w > W:
+                w //= 2
+                acc = acc[:, :w] + acc[:, w:]
+            cd = acc  # [bq, W] prefix distances
+
+            nbr = rows[:, 0, :W].astype(jnp.int32)  # ids (word-index 0)
+            valid = (nbr >= 0) & jnp.logical_not(done)
+
+            # ---- dedup vs beam ids
+            dup = jnp.zeros((bq, W), jnp.int32)
+            bc = bi[:, :half]
+
+            def dd(it, c):
+                dup, bc = c
+                return dup | (nbr == bc[:, :W]).astype(jnp.int32), pltpu.roll(
+                    bc, 1, axis=1
+                )
+
+            dup, _ = jax.lax.fori_loop(0, half, dd, (dup, bc))
+            fresh = valid & (dup == 0)
+            vis_ref[:] = vis_ref[:] + jnp.sum(
+                fresh.astype(jnp.int32), axis=1, keepdims=True
+            )
+            cd = jnp.where(fresh, cd, DINF)
+            ci = jnp.where(fresh, nbr, IINF)
+
+            # ---- merge
+            if W < half:
+                cd = jnp.concatenate(
+                    [cd, jnp.full((bq, half - W), DINF, jnp.int32)], axis=1
+                )
+                ci = jnp.concatenate(
+                    [ci, jnp.full((bq, half - W), IINF, jnp.int32)], axis=1
+                )
+            sd, si = _bitonic_sort2(cd, ci, descending=True)
+            bd[:, half:] = sd
+            bi[:, half:] = si
+            fb[:, half:] = jnp.zeros((bq, half), jnp.int32)
+            m_d, m_i, m_f = _bitonic_merge2(bd[:], bi[:], fb[:])
+            if ef < half:
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, (bq, TOT), 1)
+                evict = (lane2 >= ef) & (lane2 < half)
+                m_d = jnp.where(evict, DINF, m_d)
+                m_i = jnp.where(evict, IINF, m_i)
+                m_f = jnp.where(evict, 0, m_f)
+            bd[:] = m_d
+            bi[:] = m_i
+            fb[:] = m_f
+
+            alive = jnp.logical_not(jnp.all(done))
+            return step + 1, alive
+
+        def cond(carry):
+            step, alive = carry
+            return alive & (step < max_steps)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        outd_ref[:] = bd[:, :half]
+        outi_ref[:] = bi[:, :half]
+
+    return kernel, S
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "W", "mini_words", "max_steps", "block_q",
+                     "interpret"),
+)
+def mini_beam_search(
+    mini,
+    queries,
+    init_d,
+    init_i,
+    *,
+    ef: int,
+    W: int,
+    mini_words: int,
+    max_steps: int = 256,
+    block_q: int = 256,
+    interpret: bool = False,
+):
+    """Beam search on ESTIMATED (prefix minisketch) distances: one DMA per
+    expansion from the inline mini table. ``init_d`` must be the PREFIX
+    distance of the entry point (same mini_words). Returns prefix
+    distances — rerank the ids with full sketches (``rerank_exact``) for
+    final results."""
+    B = queries.shape[0]
+    if B % block_q != 0:
+        raise ValueError(f"B={B} not a multiple of block_q={block_q}")
+    half = max(64, _next_pow2(ef), _next_pow2(W))
+    if half > LANES:
+        raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
+    cap = mini.shape[0]
+    qt = mini_query_tiles(queries, W, mini_words)
+    kernel, S = _make_mini_kernel(
+        ef=ef, half=half, W=W, mini_words=mini_words, max_steps=max_steps,
+        bq=block_q, cap=cap,
+    )
+    grid = (B // block_q,)
+    outd, outi, vis, stp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, half), jnp.int32),
+            jax.ShapeDtypeStruct((B, half), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_q, S, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # beam est dists
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # beam ids
+            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # expanded flags
+            pltpu.VMEM((block_q, S, LANES), jnp.uint32),  # mini rows
+            pltpu.VMEM((block_q, 1), jnp.int32),          # expansion ids
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qt, init_d.reshape(B, 1), init_i.reshape(B, 1), mini)
+    return outd, outi, vis[:, 0], stp[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rerank_exact(points, queries, cand_ids, *, k: int):
+    """Exact rerank of the mini search's candidates: gather full sketches,
+    Hamming distance, two-key (d, id) sort, top-k. One [B, half] gather
+    per query batch (amortized ~93ns/row) replaces exact distances inside
+    the search loop."""
+    B, H = cand_ids.shape
+    cap = points.shape[0]
+    valid = (cand_ids >= 0) & (cand_ids < cap)
+    safe = jnp.clip(cand_ids, 0, cap - 1)
+    pts = points[safe]  # [B, H, words]
+    q = queries.reshape(B, 1, -1)
+    d = jnp.sum(
+        jax.lax.population_count(pts ^ q), axis=2
+    ).astype(jnp.int32)
+    d = jnp.where(valid, d, jnp.int32(0x7FFF0000))
+    ids = jnp.where(valid, cand_ids, jnp.int32(0x7FFFFFFF))
+    d, ids = jax.lax.sort((d, ids), num_keys=2)
+    return d[:, :k], ids[:, :k]
 
 
 @functools.partial(

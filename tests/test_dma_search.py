@@ -91,6 +91,81 @@ def test_dma_matches_xla_two_key(w, ef):
     np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
 
 
+@pytest.mark.parametrize("w,ef,mw", [(64, 48, 3), (64, 96, 7), (32, 32, 3)])
+def test_mini_matches_xla_on_prefix(w, ef, mw):
+    """The minisketch kernel must equal the XLA beam path run on the
+    TRUNCATED sketches (same prefix distances, ids, visited, steps)."""
+    from hnsw_itu_tpu.ops.pallas_dma_search import (
+        materialize_mini, mini_beam_search, mini_subrows,
+    )
+
+    cap, words, B = 512, 32, 64
+    rng = np.random.default_rng(w + ef + mw)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    metric = get_metric("hamming")
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+
+    tp = pts_j[:, :mw]  # truncated sketches
+    tq = qs_j[:, :mw]
+    ref = batched_beam_search(
+        lambda ids: tp[ids], adj_j, tq, jnp.zeros((B,), jnp.int32),
+        ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+        dedup="beam",
+    )
+
+    mini = materialize_mini(pts_j, adj_j, mini_words=mw)
+    assert mini.shape == (cap, mini_subrows(w, mw), 128)
+    d0 = jnp.sum(
+        jax.lax.population_count(tq ^ tp[0][None]), axis=1
+    ).astype(jnp.int32)
+    outd, outi, vis, stp = mini_beam_search(
+        mini, qs_j, d0, jnp.zeros((B,), jnp.int32),
+        ef=ef, W=w, mini_words=mw, max_steps=256, block_q=B, interpret=True,
+    )
+    got_d = np.asarray(outd)[:, :ef]
+    got_i = np.asarray(outi)[:, :ef]
+    got_d = np.where(got_d >= DINF, np.iinfo(np.int32).max, got_d)
+    got_i = np.where(got_i >= IINF, np.iinfo(np.int32).max, got_i)
+    np.testing.assert_array_equal(got_d, np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i, np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref.visited))
+    np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
+
+
+def test_rerank_exact():
+    from hnsw_itu_tpu.ops.pallas_dma_search import rerank_exact
+
+    rng = np.random.default_rng(5)
+    cap, words, B, H, k = 200, 32, 8, 16, 5
+    pts = rng.integers(0, 2**32, size=(cap, words), dtype=np.uint32)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    cands = rng.integers(0, cap, size=(B, H)).astype(np.int32)
+    cands[0, 3] = -1  # invalid slots ignored
+    d, ids = rerank_exact(
+        jnp.asarray(pts), jnp.asarray(qs), jnp.asarray(cands), k=k
+    )
+    d, ids = np.asarray(d), np.asarray(ids)
+    for b in range(B):
+        cs = [c for c in cands[b] if c >= 0]
+        true = sorted(
+            (bin(int.from_bytes((pts[c] ^ qs[b]).tobytes(), "little"))
+             .count("1"), c)
+            for c in cs
+        )
+        # dedup by id keeps one copy per id; rerank keeps duplicates but
+        # they tie exactly, so compare the (d, id) multiset prefix
+        want = sorted(set(true))[:k]
+        got = list(zip(d[b], ids[b]))
+        # drop duplicate (d, id) pairs the same way
+        seen, got_u = set(), []
+        for p in got:
+            if p not in seen:
+                seen.add(p)
+                got_u.append(p)
+        assert got_u[: len(want)] == want[: len(got_u)]
+
+
 def test_dma_matches_beyond_packed_key_range():
     """ids that would overflow the packed int32 key (cap > 2^20 territory
     is emulated by a sparse id space): the two-plane kernel must keep
