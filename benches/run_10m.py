@@ -3,13 +3,15 @@
 Reference (BASELINE.md): laion2B hamming, n=10,120,191, 10k queries —
 build 575.21s (16 CPU threads), 26.4k QPS at recall@10 0.93356 (ef=64).
 The LAION files are not available here, so this runs the same shape on
-clustered synthetic sketches: 10M points, 10k queries, k=10, ef=64,
-efc=96/m=24/M=64, recall measured against the exact MXU brute-force oracle.
+clustered synthetic sketches: 10M points, 10k queries, k=10,
+efc=96/m=24/M=64, recall measured against the exact host oracle on a
+query subset.
 
-At 10M the fused Pallas table (128B x W per node) exceeds HBM, and the
-packed (distance, id) key exceeds int32, so queries run the XLA packed beam
-path with per-neighbor gathers — the measured wall is HBM random access
-(~93ns per 128-byte row; see docs/SCALE.md).
+At 10M the exact fused table exceeds HBM; queries run the mini-table
+kernel (ids + truncated sketches inline, ONE DMA per expansion, exact
+rerank — docs/SCALE.md) and the build uses the truncated inline buffer.
+ef is swept upward until recall@10 >= 0.93 (estimated distances trade
+recall-per-ef for scale; the reference's artifact is ef=64 exact).
 
 Writes one JSON line to benches/results_10m.json.
 
@@ -38,7 +40,7 @@ def main():
     from hnsw_itu_tpu.utils import recall_at_k
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    NQ, K, EF = 10_000, 10, 64
+    NQ, K = 10_000, 10
     rng = np.random.default_rng(0)
     C = max(16, N // 128)
 
@@ -112,35 +114,57 @@ def main():
     index.query_batch = 8192
     index.query_entry_sample = 1024
     index.query_dedup = "beam"  # O(N) visited bitmasks don't fit at 10M
-    index.enable_inline()  # no-op at 10M (documented): tables exceed HBM
+    index.enable_inline()  # mini table (or fused when it fits)
+    np.asarray(index.base.deg[:1])
+    path = ("fused" if index.fused is not None else
+            f"mini(mw={index.mini_words})" if index.mini is not None else
+            "xla")
+    print(f"# query path: {path}", file=sys.stderr, flush=True)
     qs_dev = jnp.asarray(qs)
-    index.knns(qs_dev[:8192], K, EF)  # compile
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res = index.knns(qs_dev, K, EF)
-        best = min(best, time.perf_counter() - t0)
-    qps = NQ / best
-    recall = recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K)
-    print(f"# query: {best:.3f}s for {NQ} queries "
-          f"(visited/q={index.last_stats['visited']/NQ:.0f})",
-          file=sys.stderr, flush=True)
 
-    rec = {
-        "metric": f"HNSW 10M-scale (k={K}, ef={EF}, n={N}, synthetic "
-                  "1024-bit sketches)",
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / 26_400, 3),
-        "recall_at_10": round(float(recall), 4),
-        "build_seconds": round(build_s, 1),
-        "n_points": N,
-        "n_queries": NQ,
-        "query_path": "xla-packed-beam (fused table > HBM at 10M)",
-    }
-    print(json.dumps(rec))
+    best_rec = None
+    sweeps = []
+    for ef in (64, 96, 128):
+        index.knns(qs_dev[:8192], K, ef)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = index.knns(qs_dev, K, ef)
+            np.asarray(res.ids[:1])
+            best = min(best, time.perf_counter() - t0)
+        qps = NQ / best
+        recall = float(recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K))
+        print(f"# ef={ef}: {best:.3f}s for {NQ} queries, "
+              f"{qps:.0f} QPS, recall {recall:.4f}", file=sys.stderr,
+              flush=True)
+        sweeps.append({"ef": ef, "qps": round(qps, 1),
+                       "recall_at_10": round(recall, 4)})
+        rec = {
+            "metric": f"HNSW 10M-scale (k={K}, ef={ef}, n={N}, synthetic "
+                      "1024-bit sketches)",
+            "value": round(qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(qps / 26_400, 3),
+            "recall_at_10": round(recall, 4),
+            "build_seconds": round(build_s, 1),
+            "n_points": N,
+            "n_queries": NQ,
+            "query_path": path,
+            "ef_sweep": sweeps,
+        }
+        if best_rec is None or (recall >= 0.93
+                                and best_rec["recall_at_10"] < 0.93):
+            best_rec = rec
+        elif (recall >= 0.93) == (best_rec["recall_at_10"] >= 0.93) and \
+                qps > best_rec["value"]:
+            best_rec = rec
+        if recall >= 0.93:
+            break  # gate met; lowest-ef config is also the fastest
+
+    best_rec["ef_sweep"] = sweeps
+    print(json.dumps(best_rec))
     with open(out_path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump(best_rec, f, indent=1)
 
 
 if __name__ == "__main__":

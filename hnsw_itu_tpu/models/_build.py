@@ -45,7 +45,8 @@ from ..ops.select import select_neighbors
 
 @functools.partial(
     jax.jit,
-    static_argnames=("efc", "m", "metric_name", "expand", "max_steps", "dedup"),
+    static_argnames=("efc", "m", "metric_name", "expand", "max_steps", "dedup",
+                     "inline_words"),
     donate_argnums=(),
 )
 def search_select(
@@ -63,6 +64,7 @@ def search_select(
     expand: int = 1,
     max_steps: int = 2048,
     dedup: str = "beam",
+    inline_words: int = 0,
 ):
     """Phase 1: for a sub-batch of new points, beam-search the current graph
     (ef=ef_construction) and diversity-select up to m neighbors each —
@@ -76,6 +78,11 @@ def search_select(
       qs: [S, ...] new points' data.
       q_valid: bool[S] padding mask.
       eps: int32[S] per-point entry node (graph-local).
+      inline_words: >0 means adj_pts holds TRUNCATED sketches (the first
+        inline_words words per neighbor) — the >full-inline-budget build
+        regime. The beam then searches on ESTIMATED (prefix) distances and
+        the beam candidates are re-scored EXACTLY before select (the
+        candidate points are gathered for the pairwise MXU step anyway).
 
     Returns sel_ids int32[S, m] (graph-local, -1 padded) and their dists.
     """
@@ -85,10 +92,18 @@ def search_select(
     def get_points(ids):
         return points[node_map[ids]]
 
+    if inline_words:
+        pts_t = points.reshape(points.shape[0], -1)[:, :inline_words]
+        qs_t = qs.reshape(qs.shape[0], -1)[:, :inline_words]
+        get_search_points = lambda ids: pts_t[node_map[ids]]  # noqa: E731
+    else:
+        qs_t = qs
+        get_search_points = get_points
+
     res = batched_beam_search(
-        get_points,
+        get_search_points,
         adj,
-        qs,
+        qs_t,
         eps,
         ef=efc,
         metric=metric,
@@ -101,9 +116,20 @@ def search_select(
         ),
     )
 
+    IINF = np.iinfo(np.int32).max
+
     def sel_one(q, bd, bi, ok):
-        valid = (bi != np.iinfo(np.int32).max) & (bd < metric.inf) & ok
+        valid = (bi != IINF) & (bd < metric.inf) & ok
         cpts = get_points(jnp.clip(bi, 0, cap_graph - 1))
+        if inline_words:
+            # exact re-score + (d, id) resort: the estimated order from the
+            # truncated search is not the select order
+            bd = jnp.where(valid, metric.one_to_many(q, cpts), metric.inf)
+            bi = jnp.where(valid, bi, IINF)
+            perm = jnp.arange(bi.shape[0], dtype=jnp.int32)
+            bd, bi, perm = jax.lax.sort((bd, bi, perm), num_keys=2)
+            cpts = cpts[perm]
+            valid = (bi != IINF) & (bd < metric.inf)
         pair = metric.pairwise_mxu(cpts, cpts)
         sel_ids, sel_d, _ = select_neighbors(bd, bi, pair, valid, m)
         return sel_ids, sel_d
@@ -124,7 +150,7 @@ def make_spill(cap: int, width: int = 8) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric_name", "prune_budget"),
+    static_argnames=("metric_name", "prune_budget", "inline_words"),
     donate_argnums=(2, 5, 6),
 )
 def apply_inserts(
@@ -138,6 +164,7 @@ def apply_inserts(
     *,
     metric_name: str,
     prune_budget: int = 256,
+    inline_words: int = 0,
 ):
     """Phase 2: vectorized ``insert_neighbors`` (nsw.rs:94-131) for a chunk.
 
@@ -167,6 +194,12 @@ def apply_inserts(
     def pts_of(ids):
         return points[node_map[jnp.clip(ids, 0, cap - 1)]]
 
+    def inline_of(ids):
+        """Point data as stored in adj_pts rows (truncated when
+        inline_words > 0, see search_select)."""
+        p = pts_of(ids)
+        return p[..., :inline_words] if inline_words else p
+
     # forward edges: the new point's whole row (its row was empty)
     pad = W - sel_rows.shape[1]
     rows = sel_rows
@@ -177,11 +210,11 @@ def apply_inserts(
     deg_before = graph.deg
     graph = set_rows(graph, new_ids, rows)
     if adj_pts is not None:
-        # adj_pts rows are FLAT [cap, W*words] (TPU-friendly trailing dim)
+        # adj_pts rows are FLAT [cap, W*inline] (TPU-friendly trailing dim)
         n_new = rows.shape[0]
         safe_new = jnp.where(new_ids >= 0, new_ids, cap)
         adj_pts = adj_pts.at[safe_new].set(
-            pts_of(rows).reshape(n_new, -1), mode="drop"
+            inline_of(rows).reshape(n_new, -1), mode="drop"
         )
 
     # reverse edges, grouped append
@@ -193,7 +226,7 @@ def apply_inserts(
     graph = res.graph
     if adj_pts is not None:
         row_t = jnp.where(res.written, res.targets, cap)
-        src_pts = pts_of(res.sources)
+        src_pts = inline_of(res.sources)
         src_flat = src_pts.reshape(src_pts.shape[0], -1)
         words = src_flat.shape[1]
         col0 = res.cols[:, None] * words + jnp.arange(words)[None, :]
@@ -253,7 +286,8 @@ def apply_inserts(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "efc", "m", "metric_name", "expand", "max_steps", "dedup"
+        "S", "efc", "m", "metric_name", "expand", "max_steps", "dedup",
+        "inline_words",
     ),
 )
 def search_select_window(
@@ -273,6 +307,7 @@ def search_select_window(
     expand: int = 1,
     max_steps: int = 2048,
     dedup: str = "beam",
+    inline_words: int = 0,
 ):
     """Device-resident windowed search_select: slices an S-query window out
     of the full (padded) chunk ON DEVICE. Keeps the whole chunk loop free of
@@ -295,6 +330,7 @@ def search_select_window(
         expand=expand,
         max_steps=max_steps,
         dedup=dedup,
+        inline_words=inline_words,
     )
 
 
@@ -303,6 +339,7 @@ def search_select_window(
     static_argnames=(
         "S", "efc", "m", "metric_name", "expand", "max_steps",
         "prune_budget", "entry_sample", "use_entry", "do_write",
+        "inline_words",
     ),
     donate_argnums=(0, 2, 3, 4),
 )
@@ -328,6 +365,7 @@ def chunk_step(
     entry_sample: int = 0,
     use_entry: bool = False,
     do_write: bool = True,
+    inline_words: int = 0,
 ):
     """One WHOLE construction chunk in a single dispatch: point write,
     entry selection, every search window (lax.map over the window grid),
@@ -370,7 +408,7 @@ def chunk_step(
         sel_ids, _ = search_select(
             points, node_map, graph.adj, qs, valid, eps, adj_pts,
             efc=efc, m=m, metric_name=metric_name, expand=expand,
-            max_steps=max_steps,
+            max_steps=max_steps, inline_words=inline_words,
         )
         return sel_ids
 
@@ -392,6 +430,7 @@ def chunk_step(
     graph, adj_pts, spill, dropped = apply_inserts(
         points, node_map, graph, new_ids, sel, adj_pts, spill,
         metric_name=metric_name, prune_budget=prune_budget,
+        inline_words=inline_words,
     )
     return points, graph, adj_pts, spill, dropped
 

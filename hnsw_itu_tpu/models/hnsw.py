@@ -141,6 +141,49 @@ def _hnsw_query_step_fused(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "ef", "metric_name", "max_steps", "n_levels",
+                     "entry_sample", "W", "mini_words", "block_q"),
+)
+def _hnsw_query_step_mini(
+    points,
+    levels,
+    mini,
+    qs,
+    ep,
+    level_adj_pts=None,
+    n=None,
+    *,
+    k,
+    ef,
+    metric_name,
+    max_steps,
+    n_levels,
+    entry_sample,
+    W,
+    mini_words,
+    block_q,
+):
+    """HNSW search with the mini-table base kernel (the >fused-limit
+    regime): descent (or sampled entry) in XLA, estimated-distance beam in
+    the kernel, exact rerank."""
+    from .nsw import _query_step_mini
+
+    metric = get_metric(metric_name)
+    eps = _descent_eps(
+        points, levels, qs, ep, n,
+        metric=metric, max_steps=max_steps, n_levels=n_levels,
+        level_adj_pts=level_adj_pts, entry_sample=entry_sample,
+    )
+    return _query_step_mini(
+        points, mini, qs, ep, n,
+        k=k, ef=ef, metric_name=metric_name, max_steps=max_steps,
+        entry_sample=0, W=W, mini_words=mini_words, block_q=block_q,
+        eps=eps,
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
                      "n_levels", "dedup", "entry_sample"),
 )
@@ -213,6 +256,8 @@ class HNSW:
         self.adj_pts = None
         self.level_adj_pts = None
         self.fused = None  # fused Pallas base table (ops/pallas_search.py)
+        self.mini = None  # inline mini table (ops/pallas_dma_search.py)
+        self.mini_words = 0
 
     def size(self) -> int:
         return self.n
@@ -229,6 +274,8 @@ class HNSW:
             _fused_query_eligible, _inline_query_fits, _materialize_inline,
         )
 
+        from .nsw import _mini_words_for
+
         if (
             self.use_pallas
             and self.fused is None
@@ -237,6 +284,16 @@ class HNSW:
             from ..ops.pallas_search import materialize_fused
 
             self.fused = materialize_fused(self.points, self.base.adj)
+        elif self.use_pallas and self.mini is None and _mini_words_for(
+            self.points, self.base.adj, self.metric
+        ) > 0:
+            from ..ops.pallas_dma_search import materialize_mini
+
+            mw = _mini_words_for(self.points, self.base.adj, self.metric)
+            self.mini = materialize_mini(
+                self.points, self.base.adj, mini_words=mw
+            )
+            self.mini_words = mw
         elif self.adj_pts is None and _inline_query_fits(
             self.points, self.base.adj
         ):
@@ -288,10 +345,39 @@ class HNSW:
             and max(ef, k) <= 128
             and self.query_expand == 1
         )
+        use_mini = (
+            not use_fused
+            and self.mini is not None
+            and max(ef, k) <= 128
+            and self.query_expand == 1
+        )
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
-            if use_fused:
+            if use_mini:
+                from ..ops.pallas_dma_search import fused_width_
+                from .nsw import _fused_batch
+
+                bp, block_q = _fused_batch(b)
+                d, i, vis, st = _hnsw_query_step_mini(
+                    self.points,
+                    levels,
+                    self.mini,
+                    _pad_rows_j(q, bp),
+                    jnp.int32(self.ep),
+                    self.level_adj_pts,
+                    jnp.int32(self.n),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    max_steps=self._steps_cap(ef),
+                    n_levels=len(levels),
+                    entry_sample=self.query_entry_sample,
+                    W=fused_width_(self.base.width),
+                    mini_words=self.mini_words,
+                    block_q=block_q,
+                )
+            elif use_fused:
                 from ..ops.pallas_search import fused_width
                 from .nsw import _fused_batch
 
@@ -364,6 +450,7 @@ class HNSWBuilder:
         self.level_ns: list[int] = []
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline base rows maintained during the build
+        self.inline_words = 0  # >0: adj_pts holds truncated prefixes
         self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
         # deterministic level RNG (hnsw.rs:24-30)
@@ -414,10 +501,12 @@ class HNSWBuilder:
             )
             from .nsw import NSWBuilder
 
-            if NSWBuilder._inline_build_fits(self, sample):
-                words = int(np.prod(sample.shape[1:]))
+            words = int(np.prod(sample.shape[1:]))
+            mw = NSWBuilder._inline_build_words(self, sample)
+            self.inline_words = 0 if mw == words else mw
+            if mw > 0:
                 self.adj_pts = jnp.zeros(
-                    (self.opts.size, self.opts.max_connections * words),
+                    (self.opts.size, self.opts.max_connections * mw),
                     dtype=sample.dtype,
                 )
 
@@ -475,13 +564,15 @@ class HNSWBuilder:
             if progress:
                 progress(off)
 
+    MAX_HOST_LEVELS = 16  # geometric draw: P(level >= 16) ~ m^-16, unreachable
+
     def _host_warmup(self, pts: np.ndarray) -> int:
-        """CPU-native sequential warmup (exact reference insert semantics)
-        into the BASE layer; the hierarchy forms from later chunks. The
-        reference's sequential warmup draws per-point levels (hnsw.rs:54),
-        so this flattens the first ``host_warmup`` points — with geometric
-        level probability 1/m the expected distortion is small, and the
-        entry point stays the first base node."""
+        """CPU-native sequential warmup with the FULL hierarchy (exact
+        IndexBuilder::add semantics, hnsw.rs:183-244): per-point level
+        draws from the builder's deterministic RNG (the same stream the
+        sequential device path would consume), greedy descent, per-layer
+        insert_idx, base insert — so ``--single-threaded`` (host_warmup =
+        size) builds a real HNSW, not a flat graph."""
         from .. import native
 
         warm = min(self.opts.host_warmup, pts.shape[0])
@@ -497,17 +588,48 @@ class HNSWBuilder:
         pts_np[:warm] = pts[:warm]
         adj_np = np.full((cap, W), -1, np.int32)
         deg_np = np.zeros((cap,), np.int32)
-        native.host_build(
+        # point 0 is pinned at the (empty) top level and consumes no draw
+        # (hnsw.rs:185-190); one draw per later point, like extend()
+        draws = np.zeros((warm,), np.int32)
+        draws[1:] = [self._random_level() for _ in range(warm - 1)]
+        ml = self.MAX_HOST_LEVELS
+        caps = [self._level_capacity(l) for l in range(ml)]
+        total = sum(caps)
+        lvl_node_ids = np.zeros((total,), np.int32)
+        lvl_down = np.zeros((total,), np.int32)
+        lvl_adj = np.full((total, W), -1, np.int32)
+        lvl_deg = np.zeros((total,), np.int32)
+        level_ns = np.zeros((ml,), np.int64)
+        _, ep = native.host_build_hnsw(
             pts_np, self.metric.name, adj_np, deg_np, 1, warm,
-            m=self.opts.connections, efc=self.opts.ef_construction, ep=0,
+            m=self.opts.connections, efc=self.opts.ef_construction,
+            draws=draws, level_caps=caps, lvl_node_ids=lvl_node_ids,
+            lvl_down=lvl_down, lvl_adj=lvl_adj, lvl_deg=lvl_deg,
+            level_ns=level_ns, ep=0,
         )
         self.points = jnp.asarray(pts_np)
         self.base = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
+        off = 0
+        for l in range(ml):
+            if level_ns[l] <= 0:
+                break
+            self.levels.append(Level(
+                node_ids=jnp.asarray(lvl_node_ids[off : off + caps[l]]),
+                down=jnp.asarray(lvl_down[off : off + caps[l]]),
+                graph=GraphArrays(
+                    jnp.asarray(lvl_adj[off : off + caps[l]]),
+                    jnp.asarray(lvl_deg[off : off + caps[l]]),
+                ),
+            ))
+            self.level_ns.append(int(level_ns[l]))
+            off += caps[l]
         if self.adj_pts is not None:
             from .nsw import _materialize_inline
 
-            self.adj_pts = _materialize_inline(self.points, self.base.adj)
-        self.ep = 0
+            self.adj_pts = _materialize_inline(
+                self.points, self.base.adj, self.inline_words
+            )
+        self.ep = int(ep)
         self.n = warm
         return warm
 
@@ -563,6 +685,7 @@ class HNSWBuilder:
                 jnp.full((1, 1), -1, jnp.int32),
                 self.adj_pts, self.spill,
                 metric_name=self.metric.name, prune_budget=budget,
+                inline_words=self.inline_words,
             )
 
     # -- the chunk insert ------------------------------------------------------
@@ -774,6 +897,7 @@ class HNSWBuilder:
             entry_sample=self.opts.entry_sample,
             use_entry=use_entry,
             do_write=False,
+            inline_words=self.inline_words,
         )
         self.edge_drops.append(dropped)
         if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:

@@ -144,15 +144,17 @@ def _fused_query_eligible(points, adj, metric) -> bool:
     if words % (LANES // W) != 0:
         return False
     id_bits = max(1, (cap - 1).bit_length())
-    max_d = words * 32
-    if id_bits + (max_d + 1).bit_length() > 31:
-        return False
-    # the table allocates fused_subrows per row (rounded UP to a multiple
-    # of 8 for exact (8, 128) tiling) — estimating with the unrounded
-    # subrow count under-counts by up to ~1.6x and OOMs post-eligibility
-    from ..ops.pallas_search import fused_subrows
+    from ..ops.pallas_search import fused_subrows, key_clamp
 
-    need = cap * fused_subrows(W, words) * LANES * points.dtype.itemsize
+    # distances are clamped in-kernel to fit the packed key; require the
+    # clamp to sit past HALF the metric bound (typical entry distances on
+    # 1024-bit sketches are ~512) so ordering is intact where it matters
+    if key_clamp(id_bits, words * 32) < words * 16:
+        return False
+    # the data table allocates fused_subrows per row (rounded UP to a
+    # multiple of 8 for exact (8, 128) tiling) plus the packed-id plane
+    need = cap * (fused_subrows(W, words) + 1 / (LANES // W)) * LANES \
+        * points.dtype.itemsize
     return need <= int(float(os.environ.get(
         "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
 
@@ -166,13 +168,13 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
                       max_steps, entry_sample, W, block_q, eps=None):
     """Fused-kernel query step: sampled (or fixed) entry + packed init keys
     in XLA, then the whole beam loop in one Pallas kernel."""
-    from ..ops.pallas_search import fused_beam_search
+    from ..ops.pallas_search import fused_beam_search, key_clamp
 
     metric = get_metric(metric_name)
-    cap = fused.shape[0]
+    cap = fused.cap
     words = int(np.prod(points.shape[1:]))
     id_bits = max(1, (cap - 1).bit_length())
-    max_d = words * 32
+    max_d = key_clamp(id_bits, words * 32)
     if eps is None:
         if entry_sample > 0 and n is not None:
             eps = sampled_entry(points, qs, n, sample_size=entry_sample,
@@ -182,11 +184,19 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     d0 = jax.vmap(lambda q, p: metric.one_to_many(q, p[None])[0])(
         qs, points[eps]
     ).astype(jnp.int32)
-    init = (d0 << id_bits) | eps
+    # sort the batch by entry distance: lockstep blocks terminate at their
+    # slowest member, and entry distance predicts search depth — grouping
+    # shallow queries together lets whole blocks exit early (the divergence
+    # cost is >10x on clustered data, benches/RESULTS.md)
+    order = jnp.argsort(d0)
+    inv = jnp.argsort(order)
+    qs_s, d0_s, eps_s = qs[order], d0[order], eps[order]
+    init = (jnp.minimum(d0_s, max_d) << id_bits) | eps_s
     keys, vis, stp = fused_beam_search(
-        fused, qs, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
+        fused, qs_s, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
         max_d=max_d, max_steps=max_steps, block_q=block_q,
     )
+    keys, vis, stp = keys[inv], vis[inv], stp[inv]
     kinf = (max_d + 1) << id_bits
     valid = keys < kinf
     d = jnp.where(valid, keys >> id_bits, metric.inf)
@@ -194,27 +204,111 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     return d[:, :k], i[:, :k], vis, stp
 
 
-@jax.jit
-def _materialize_inline(points, adj):
+def _mini_words_for(points, adj, metric) -> int:
+    """Largest eligible minisketch width for the inline mini table
+    (ops/pallas_dma_search.py) under the inline-memory budget, or 0 when
+    the mini path cannot serve queries. The mini table is the >fused-limit
+    regime: the fused table (~8.5KB/node) stops fitting HBM past ~1.3M
+    nodes, while the mini rows (512B-2KB/node) carry ids + truncated
+    sketches for estimated-distance search with an exact rerank."""
+    import os
+
+    from ..ops.pallas_dma_search import fused_width_, mini_subrows
+
+    if metric.name != "hamming" or points is None:
+        return 0
+    if jax.default_backend() not in ("tpu", "axon"):
+        return 0
+    words = int(np.prod(points.shape[1:]))
+    cap = adj.shape[0]
+    try:
+        W = fused_width_(adj.shape[1])
+    except ValueError:
+        return 0
+    budget = int(float(os.environ.get("HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+    best = 0
+    for mw in range(min(words, 15), 0, -1):
+        try:
+            S = mini_subrows(W, mw)
+        except ValueError:
+            continue
+        if (1 + mw) % (128 // W) != 0:
+            continue
+        if cap * S * 128 * 4 <= budget:
+            best = mw
+            break
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
+                     "W", "mini_words", "block_q"),
+)
+def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
+                     max_steps, entry_sample, W, mini_words, block_q,
+                     eps=None):
+    """Mini-kernel query step: sampled entry + PREFIX entry distances in
+    XLA, estimated-distance beam search in one Pallas kernel (one DMA per
+    expansion from the inline mini table), then an exact full-sketch
+    rerank of the whole final beam. The >1.3M-node regime where no exact
+    fused table fits HBM (docs/SCALE.md)."""
+    from ..ops.pallas_dma_search import IINF, mini_beam_search, rerank_exact
+
+    metric = get_metric(metric_name)
+    if eps is None:
+        if entry_sample > 0 and n is not None:
+            eps = sampled_entry(points, qs, n, sample_size=entry_sample,
+                                metric=metric)
+        else:
+            eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+    d0 = jnp.sum(
+        jax.lax.population_count(
+            qs.reshape(qs.shape[0], -1)[:, :mini_words]
+            ^ points[eps].reshape(qs.shape[0], -1)[:, :mini_words]
+        ),
+        axis=1,
+    ).astype(jnp.int32)
+    # entry-distance sort: see _query_step_fused
+    order = jnp.argsort(d0)
+    inv = jnp.argsort(order)
+    outd, outi, vis, stp = mini_beam_search(
+        mini, qs[order], d0[order], eps[order], ef=max(ef, k), W=W,
+        mini_words=mini_words, max_steps=max_steps, block_q=block_q,
+    )
+    dk, ik = rerank_exact(points, qs[order], outi, k=k)
+    valid = ik < IINF
+    d = jnp.where(valid, dk, metric.inf)[inv]
+    i = jnp.where(valid, ik, ID_INF)[inv]
+    return d, i, vis[inv], stp[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("inline_words",))
+def _materialize_inline(points, adj, inline_words: int = 0):
     """Inline neighbor rows, stored FLAT [cap, W*words]: a trailing dim of
     W*words (e.g. 64*32 = 2048 = 16 lane tiles) keeps the natural TPU
     layout; a 3-D [cap, W, words] layout pads 2x and forces whole-table
     relayout copies (measured: 15GB copy + OOM at 1M x 64 x 32).
 
+    ``inline_words`` > 0 stores TRUNCATED prefixes (the large-N build
+    regime; see _build.search_select).
+
     Tiled: the naive one-shot gather materializes a [cap*W, words]
     intermediate whose narrow lane dim pads 4x (32GB at 1M)."""
     cap, W = adj.shape
     words = int(np.prod(points.shape[1:]))
+    mw = inline_words or words
     tile = max(1, min(cap, 16384))
     n_tiles = -(-cap // tile)
-    out = jnp.zeros((cap, W * words), points.dtype)
+    out = jnp.zeros((cap, W * mw), points.dtype)
 
     def body(i, out):
         start = i * tile  # dynamic_slice clamps the tail tile (overlap ok)
         a = jax.lax.dynamic_slice_in_dim(adj, start, tile, 0)
         g = points[jnp.clip(a, 0, points.shape[0] - 1)]
+        g = g.reshape(tile, W, words)[:, :, :mw]
         return jax.lax.dynamic_update_slice(
-            out, g.reshape(tile, W * words), (start, 0)
+            out, g.reshape(tile, W * mw), (start, 0)
         )
 
     return jax.lax.fori_loop(0, n_tiles, body, out)
@@ -239,6 +333,8 @@ class NSW:
         self.last_stats = None
         self.adj_pts = None
         self.fused = None  # fused Pallas table (ops/pallas_search.py)
+        self.mini = None  # inline mini table (ops/pallas_dma_search.py)
+        self.mini_words = 0
 
     def size(self) -> int:
         return self.n
@@ -265,6 +361,16 @@ class NSW:
 
             self.fused = materialize_fused(self.points, self.graph.adj)
             return
+        if self.use_pallas and self.mini is None:
+            mw = _mini_words_for(self.points, self.graph.adj, self.metric)
+            if mw > 0:
+                from ..ops.pallas_dma_search import materialize_mini
+
+                self.mini = materialize_mini(
+                    self.points, self.graph.adj, mini_words=mw
+                )
+                self.mini_words = mw
+                return
         if self.adj_pts is None and _inline_query_fits(self.points, self.graph.adj):
             self.adj_pts = _materialize_inline(self.points, self.graph.adj)
 
@@ -294,15 +400,39 @@ class NSW:
             and max(ef, k) <= 128
             and self.query_expand == 1
         )
+        use_mini = (
+            not use_fused
+            and self.mini is not None
+            and max(ef, k) <= 128
+            and self.query_expand == 1
+        )
         for s in range(0, nq, B):
             q = qs[s : s + B]
             b = q.shape[0]
-            if use_fused:
+            if use_fused or use_mini:
                 bp, block_q = _fused_batch(b)
             else:
                 bp = b if b == B else 1 << (b - 1).bit_length()
             qb = _pad_rows_j(q, bp)
-            if use_fused:
+            if use_mini:
+                from ..ops.pallas_dma_search import fused_width_
+
+                d, i, vis, st = _query_step_mini(
+                    self.points,
+                    self.mini,
+                    jnp.asarray(qb),
+                    jnp.int32(self.ep),
+                    jnp.int32(self.n),
+                    k=k,
+                    ef=ef,
+                    metric_name=self.metric.name,
+                    max_steps=self._steps_cap(ef),
+                    entry_sample=self.query_entry_sample,
+                    W=fused_width_(self.graph.width),
+                    mini_words=self.mini_words,
+                    block_q=block_q,
+                )
+            elif use_fused:
                 from ..ops.pallas_search import fused_width
 
                 d, i, vis, st = _query_step_fused(
@@ -380,6 +510,7 @@ class NSWBuilder:
         self.graph = make_graph(self.opts.size, self.opts.max_connections)
         self._node_map = jnp.arange(self.opts.size, dtype=jnp.int32)
         self.adj_pts = None  # inline rows maintained during the build
+        self.inline_words = 0  # >0: adj_pts holds truncated prefixes
         self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
 
@@ -389,18 +520,31 @@ class NSWBuilder:
         return int(sum(int(np.asarray(d)) for d in self.edge_drops))
 
     # -- allocation ---------------------------------------------------------
-    def _inline_build_fits(self, sample: np.ndarray) -> bool:
+    def _inline_build_words(self, sample: np.ndarray) -> int:
+        """Width (in point words) of the inline build rows: full sketches
+        when they fit the build budget, else the widest TRUNCATED prefix
+        that does (construction searches then run on estimated distances
+        with an exact re-score before select — see _build.search_select),
+        else 0 (no inline buffer; searches pay random gathers)."""
         words = int(np.prod(sample.shape[1:]))
-        bytes_needed = (
-            self.opts.size * self.opts.max_connections * words
-            * sample.dtype.itemsize
-        )
         # the (remote) runtime does not alias donated buffers, so each
         # mutation transiently holds TWO generations of adj_pts: the build
         # limit is half the query-side one
-        return bytes_needed <= int(
-            float(__import__("os").environ.get(
-                "HNSW_TPU_INLINE_BUILD_BYTES", 6e9))
+        budget = int(float(__import__("os").environ.get(
+            "HNSW_TPU_INLINE_BUILD_BYTES", 6e9)))
+        per_word = (
+            self.opts.size * self.opts.max_connections * sample.dtype.itemsize
+        )
+        if words * per_word <= budget:
+            return words
+        mw = int(budget // per_word)
+        # below 64 prefix bits the estimates are too noisy to steer the
+        # beam; fall back to the gather path instead of a bad graph
+        return mw if mw >= 2 else 0
+
+    def _inline_build_fits(self, sample: np.ndarray) -> bool:
+        return self._inline_build_words(sample) == int(
+            np.prod(sample.shape[1:])
         )
 
     def _ensure_points(self, sample: np.ndarray):
@@ -408,10 +552,12 @@ class NSWBuilder:
             self.points = jnp.zeros(
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
             )
-            if self._inline_build_fits(sample):
-                words = int(np.prod(sample.shape[1:]))
+            words = int(np.prod(sample.shape[1:]))
+            mw = self._inline_build_words(sample)
+            self.inline_words = 0 if mw == words else mw
+            if mw > 0:
                 self.adj_pts = jnp.zeros(
-                    (self.opts.size, self.opts.max_connections * words),
+                    (self.opts.size, self.opts.max_connections * mw),
                     dtype=sample.dtype,
                 )
 
@@ -476,7 +622,9 @@ class NSWBuilder:
         self.points = jnp.asarray(pts_np)
         self.graph = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
         if self.adj_pts is not None:
-            self.adj_pts = _materialize_inline(self.points, self.graph.adj)
+            self.adj_pts = _materialize_inline(
+                self.points, self.graph.adj, self.inline_words
+            )
         self.ep = 0
         self.n = warm
         return warm
@@ -520,6 +668,7 @@ class NSWBuilder:
                 jnp.full((1, 1), -1, jnp.int32),
                 self.adj_pts, self.spill,
                 metric_name=self.metric.name, prune_budget=budget,
+                inline_words=self.inline_words,
             )
 
     def _insert_chunk(self, chunk: np.ndarray):
@@ -577,6 +726,7 @@ class NSWBuilder:
                              max(self.opts.prune_budget, cp)),
             entry_sample=self.opts.entry_sample,
             use_entry=use_entry,
+            inline_words=self.inline_words,
         )
         self.n += c
         self.edge_drops.append(dropped)  # device scalars, summed lazily

@@ -27,7 +27,11 @@ _LIB = None
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
-_SO = os.path.join(_NATIVE_DIR, "libhnsw_host.so")
+# override hook: point at an instrumented build (e.g. -fsanitize=address)
+# without touching the checked-in Makefile artifact
+_SO = os.environ.get(
+    "HNSW_TPU_NATIVE_SO", os.path.join(_NATIVE_DIR, "libhnsw_host.so")
+)
 
 METRIC_CODE = {"hamming": 0, "l2int": 1}
 
@@ -59,10 +63,11 @@ def load():
         _build_lib()
         lib = ctypes.CDLL(_SO)
         lib.hnsw_host_abi_version.restype = ctypes.c_int32
-        if lib.hnsw_host_abi_version() != 2:
+        if lib.hnsw_host_abi_version() != 3:
             raise RuntimeError("hnsw_host ABI mismatch")
         lib.hnsw_host_hamming.restype = ctypes.c_int32
         lib.hnsw_host_build.restype = ctypes.c_int64
+        lib.hnsw_host_build_hnsw.restype = ctypes.c_int64
         lib.hnsw_host_knns.restype = ctypes.c_int64
         lib.hnsw_host_knns_eps.restype = ctypes.c_int64
         lib.hnsw_host_bruteforce.restype = ctypes.c_int64
@@ -106,6 +111,48 @@ def host_build(points: np.ndarray, metric: str, adj: np.ndarray,
     if r < 0:
         raise ValueError("hnsw_host_build: bad arguments")
     return int(r)
+
+
+def host_build_hnsw(points: np.ndarray, metric: str, adj: np.ndarray,
+                    deg: np.ndarray, n0: int, n1: int, m: int, efc: int,
+                    draws: np.ndarray, level_caps: list[int],
+                    lvl_node_ids: np.ndarray, lvl_down: np.ndarray,
+                    lvl_adj: np.ndarray, lvl_deg: np.ndarray,
+                    level_ns: np.ndarray, ep: int) -> tuple[int, int]:
+    """Full-hierarchy sequential inserts of [n0, n1) (hnsw.rs:183-244).
+    ``draws`` int32[n1] are pre-drawn per-point levels; level arrays are
+    concatenated per-level buffers sized by ``level_caps`` (adj rows have
+    the base width). Mutates everything in place; returns (inserted,
+    new_ep)."""
+    lib = load()
+    for a in (adj, deg, draws, lvl_node_ids, lvl_down, lvl_adj, lvl_deg):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+    assert level_ns.dtype == np.int64 and level_ns.flags.c_contiguous
+    points = np.ascontiguousarray(points)
+    caps = np.asarray(level_caps, np.int64)
+    ep_io = np.asarray([ep], np.int64)
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    r = lib.hnsw_host_build_hnsw(
+        _ptr(points),
+        ctypes.c_int32(points.shape[1]),
+        ctypes.c_int32(METRIC_CODE[metric]),
+        i32p(adj), i32p(deg),
+        ctypes.c_int64(adj.shape[0]),
+        ctypes.c_int32(adj.shape[1]),
+        ctypes.c_int64(n0),
+        ctypes.c_int64(n1),
+        ctypes.c_int32(m),
+        ctypes.c_int32(efc),
+        i32p(draws),
+        ctypes.c_int32(len(level_caps)),
+        i64p(caps),
+        i32p(lvl_node_ids), i32p(lvl_down), i32p(lvl_adj), i32p(lvl_deg),
+        i64p(level_ns), i64p(ep_io),
+    )
+    if r < 0:
+        raise ValueError("hnsw_host_build_hnsw: bad arguments")
+    return int(r), int(ep_io[0])
 
 
 def host_knns(points: np.ndarray, metric: str, adj: np.ndarray,

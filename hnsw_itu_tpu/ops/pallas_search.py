@@ -26,22 +26,32 @@ expand=1) exactly: same (distance, id) packed order, same termination rule
 (no unexpanded key <= beam[ef-1]), same visited accounting. Queries run in
 lockstep per block of ``block_q``; blocks terminate independently.
 
-Fused-table layout (``uint32[N, fused_subrows(W, words), 128]``, REP =
-128 // W): row ``e`` subrow 0 = adjacency ids of node e (lane n = neighbor
-n, -1 beyond the row width); subrow 1 + s, lane r * W + n = packed word
-``s * REP + r`` of neighbor n's sketch; trailing pad subrows (to a
-multiple of 8) keep the (8, 128) int tiling exact. One leading-dim DMA per expansion
-fetches ids + all neighbor data sequentially; the word-sliced layout makes
-the popcount reduction a sublane sum plus a log2(REP) lane fold — no
-in-kernel transposes.
+Fused-table layout — TWO planes so the data rows tile exactly:
 
-Packed keys require id_bits + bits(max_d + 1) <= 31 (Hamming 1024-bit:
-N <= 2^20). Larger indexes use the XLA path.
+  data ``uint32[N, fused_subrows(W, words), 128]``, REP = 128 // W: row
+  ``e`` subrow s, lane r * W + n = packed word ``s * REP + r`` of
+  neighbor n's sketch. For the flagship W=64/words=32 config that is
+  exactly 16 subrows — 8-aligned, no pad (the former header+data row was
+  17 subrows, silently padded to 24 = 41% wasted HBM and VMEM scratch).
+  ids  ``int32[ceil(N / PA), 1, 128]`` (``pack_adj``), PA = 128 // W:
+  node e's adjacency ids sit in lanes (e % PA)*W..+W of row e >> log2(PA)
+  — 2 nodes per 512-byte row at W=64.
+
+Per expansion the kernel issues two DMAs (256B ids + 512B*SD data); the
+word-sliced data layout makes the popcount reduction a sublane sum plus a
+log2(REP) lane fold — no in-kernel transposes.
+
+Packed keys: distances are CLAMPED to 2^(31 - id_bits) - 2 in-kernel, so
+any N with clamp >= words*16 packs (Hamming 1024-bit: N <= 2^21; ordering
+is sacrificed only above half the metric's max distance, far beyond any
+beam that matters). Larger indexes use the two-plane DMA kernel
+(ops/pallas_dma_search.py) or the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -64,27 +74,47 @@ def fused_width(width: int) -> int:
     return min(LANES, max(1, _next_pow2(width)))
 
 
+def key_clamp(id_bits: int, max_d: int) -> int:
+    """Effective distance bound of the packed (d << id_bits) | id key:
+    min(max_d, 2^(31 - id_bits) - 2). The kernel clamps every computed
+    distance to this, so ids up to 2^id_bits pack for ANY metric bound —
+    ordering is sacrificed only at distances past the clamp."""
+    return min(max_d, (1 << (31 - id_bits)) - 2)
+
+
 # ---------------------------------------------------------------------------
 # fused table
 # ---------------------------------------------------------------------------
 
 
 def fused_subrows(W: int, words: int) -> int:
-    """Number of 128-lane subrows per fused-table row: header + data,
-    rounded UP to a multiple of 8 so the (8, 128) int tiling is exact —
-    a 17-subrow table would be silently padded to 24 by the tiler AND
-    copied at the kernel boundary (measured: 2.3x memory at 1M = OOM)."""
+    """Number of 128-lane DATA subrows per fused-table row, rounded UP to
+    a multiple of 8 so the (8, 128) int tiling is exact — an unaligned
+    subrow count is silently padded by the tiler AND copied at the kernel
+    boundary (measured: 2.3x memory at 1M = OOM). The flagship
+    W=64/words=32 config is exactly 16 — zero pad."""
     REP = LANES // W
-    s = 1 + words // REP
-    return -(-s // 8) * 8
+    return -(-(words // REP) // 8) * 8
+
+
+class FusedTable(NamedTuple):
+    """The fused query tables (see module docstring)."""
+
+    data: jax.Array  # uint32[N, fused_subrows(W, words), 128]
+    ids: jax.Array   # int32[ceil(N / PA), 1, 128], PA = 128 // W
+
+    @property
+    def cap(self) -> int:
+        return self.data.shape[0]
 
 
 @functools.partial(jax.jit, donate_argnums=())
-def materialize_fused(points, adj):
-    """Build the fused HBM table ``uint32[N, fused_subrows, 128]`` (see
-    module docstring; trailing pad subrows are zero). Tiled over row blocks
-    like nsw._materialize_inline to avoid multi-GB relayout
-    intermediates."""
+def materialize_fused(points, adj) -> "FusedTable":
+    """Build the fused HBM tables (see module docstring; trailing pad
+    subrows are zero). Tiled over row blocks like nsw._materialize_inline
+    to avoid multi-GB relayout intermediates."""
+    from .pallas_dma_search import pack_adj
+
     cap, W0 = adj.shape
     W = fused_width(W0)
     words = int(np.prod(points.shape[1:]))
@@ -99,10 +129,6 @@ def materialize_fused(points, adj):
     def body(i, out):
         start = i * tile  # dynamic_slice clamps the tail tile (overlap ok)
         a = jax.lax.dynamic_slice_in_dim(adj, start, tile, 0)
-        hdr = jnp.full((tile, 1, LANES), 0xFFFFFFFF, jnp.uint32)
-        hdr = jax.lax.dynamic_update_slice(
-            hdr, a.astype(jnp.uint32)[:, None, :], (0, 0, 0)
-        )
         g = points[jnp.clip(a, 0, points.shape[0] - 1)]  # [tile, W0, words]
         g = g.reshape(tile, W0, words)
         if W != W0:
@@ -111,15 +137,23 @@ def materialize_fused(points, adj):
             )
         # [tile, W, words] -> [tile, words, W] -> [tile, words//REP, REP*W]
         data = jnp.swapaxes(g, 1, 2).reshape(tile, words // REP, LANES)
-        pad = S - 1 - words // REP
+        pad = S - words // REP
         if pad:
             data = jnp.concatenate(
                 [data, jnp.zeros((tile, pad, LANES), data.dtype)], axis=1
             )
-        row = jnp.concatenate([hdr, data.astype(jnp.uint32)], axis=1)
-        return jax.lax.dynamic_update_slice(out, row, (start, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            out, data.astype(jnp.uint32), (start, 0, 0)
+        )
 
-    return jax.lax.fori_loop(0, n_tiles, body, out)
+    wadj = adj
+    if W != W0:
+        wadj = jnp.concatenate(
+            [adj, jnp.full((cap, W - W0), -1, jnp.int32)], axis=1
+        )
+    return FusedTable(
+        data=jax.lax.fori_loop(0, n_tiles, body, out), ids=pack_adj(wadj)
+    )
 
 
 def query_tiles(queries, W: int):
@@ -208,14 +242,17 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
                  dma_unroll=256, dma_mode="loop"):
     TOT = 2 * half
     REP = LANES // W
-    S = fused_subrows(W, words)   # table subrows (header + data + pad)
-    SD = words // REP             # data subrows
+    S = fused_subrows(W, words)   # data subrows (8-aligned)
+    SD = words // REP             # live data subrows
+    PA = LANES // W               # nodes per packed-id row
+    PA_SHIFT = PA.bit_length() - 1
     MASK = np.int32((1 << id_bits) - 1)
     KINF = np.int32(key_inf)
+    DCLAMP = np.int32((key_inf >> id_bits) - 1)  # in-kernel distance clamp
     BIG = np.int32(0x7FFFFFFF)
 
-    def kernel(qt_ref, init_ref, table_hbm, outk_ref, vis_ref, stp_ref,
-               kb, fb, rows, eids, dns, sem):
+    def kernel(qt_ref, init_ref, ids_hbm, table_hbm, outk_ref, vis_ref,
+               stp_ref, kb, fb, arows, rows, eids, dns, sem):
         # ---- per-block init ------------------------------------------------
         kb[:] = jnp.full((bq, TOT), KINF, jnp.int32)
         kb[:, 0:1] = init_ref[:]
@@ -241,13 +278,16 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
             dns[:] = done.astype(jnp.int32)
             stp_ref[:] = stp_ref[:] + jnp.where(done, 0, 1)
 
-            # ---- fetch fused rows: one DMA per live query ------------------
+            # ---- fetch id + data rows: two DMAs per live query -------------
             # done queries fetch row 0 unconditionally (their candidates are
             # masked later): a branch-free loop lets the scalar core stream
             # descriptor issues instead of re-evaluating predicates
             _unroll = bq if dma_unroll != 1 else 1  # Mosaic: full or none
             if dma_mode != "skip":
                 def issue(i, n):
+                    pltpu.make_async_copy(
+                        ids_hbm.at[eids[i, 0] >> PA_SHIFT], arows.at[i], sem
+                    ).start()
                     pltpu.make_async_copy(
                         table_hbm.at[eids[i, 0]], rows.at[i], sem
                     ).start()
@@ -259,10 +299,17 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
                     # TPU DMA semaphores count BYTES: one wait sized as the
                     # whole rows scratch consumes all bq row-copies at once
                     pltpu.make_async_copy(
+                        ids_hbm.at[pl.ds(0, bq)], arows, sem
+                    ).wait()
+                    pltpu.make_async_copy(
                         table_hbm.at[pl.ds(0, bq)], rows, sem
                     ).wait()
                 else:
                     def drain(i, n):
+                        pltpu.make_async_copy(
+                            ids_hbm.at[eids[i, 0] >> PA_SHIFT], arows.at[i],
+                            sem,
+                        ).wait()
                         pltpu.make_async_copy(
                             table_hbm.at[eids[i, 0]], rows.at[i], sem
                         ).wait()
@@ -271,7 +318,7 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
                     jax.lax.fori_loop(0, bq, drain, 0, unroll=_unroll)
 
             # ---- distances: XOR + popcount, sublane sum + lane fold --------
-            data = rows[:, 1 : 1 + SD, :]  # [bq, SD, 128]
+            data = rows[:, :SD, :]  # [bq, SD, 128]
             pc = jax.lax.population_count(
                 jnp.bitwise_xor(data, qt_ref[:])
             ).astype(jnp.int32)
@@ -280,13 +327,24 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
             while w > W:
                 w //= 2
                 acc = acc[:, :w] + acc[:, w:]
-            d = acc  # [bq, W]
+            d = jnp.minimum(acc, DCLAMP)  # [bq, W]; clamp keeps keys packed
             if W < half:
                 d = jnp.concatenate(
                     [d, jnp.zeros((bq, half - W), jnp.int32)], axis=1
                 )
 
-            nbr_raw = rows[:, 0, :half].astype(jnp.int32)
+            # ---- this node's W adjacency lanes from the packed-id row ------
+            arow = arows[:, 0, :]  # [bq, 128] i32
+            if PA == 1:
+                nbr_raw = arow[:, :half]
+            else:
+                grp = eids[:] & (PA - 1)  # [bq, 1]
+                sel = jnp.where(grp == 0, arow, 0)
+                for g in range(1, PA):
+                    sel = sel | jnp.where(
+                        grp == g, pltpu.roll(arow, LANES - g * W, axis=1), 0
+                    )
+                nbr_raw = sel[:, :half]
             nbr = jnp.where(cand_lane < W, nbr_raw, -1)
             valid = (nbr >= 0) & jnp.logical_not(done)
             ck = jnp.where(valid, (d << id_bits) | nbr, KINF)
@@ -358,18 +416,19 @@ def fused_beam_search(
     """Run the fused search. Returns (keys int32[B, half], visited int32[B],
     steps int32[B]); decode ids/distances with ``key >> id_bits`` /
     ``key & mask``. ``B`` must be a multiple of ``block_q`` (pad at the
-    call site); ``init_keys`` holds each query's packed entry-point key.
-    ``W`` is the PHYSICAL fused width (fused_width of the adjacency)."""
-    cap = table.shape[0]
+    call site); ``init_keys`` holds each query's packed entry-point key
+    (distances pre-clamped like the kernel's). ``W`` is the PHYSICAL fused
+    width (fused_width of the adjacency). ``max_d`` is clamped in-kernel
+    to 2^(31 - id_bits) - 2 when the raw bound would overflow int32."""
+    cap = table.cap
     B = queries.shape[0]
     if B % block_q != 0:
         raise ValueError(f"B={B} not a multiple of block_q={block_q}")
     half = max(64, _next_pow2(ef), _next_pow2(W))
     if half > LANES:
         raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
+    max_d = key_clamp(id_bits, max_d)
     key_inf = (max_d + 1) << id_bits
-    if id_bits + (max_d + 1).bit_length() > 31:
-        raise ValueError("packed key overflows int32")
     qt = query_tiles(queries, W)  # [B, words//REP, 128]
     kernel, S = _make_kernel(
         ef=ef, half=half, W=W, words=words, id_bits=id_bits,
@@ -393,6 +452,7 @@ def fused_beam_search(
             pl.BlockSpec((block_q, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
             pl.BlockSpec((block_q, half), lambda i: (i, 0),
@@ -405,7 +465,8 @@ def fused_beam_search(
         scratch_shapes=[
             pltpu.VMEM((block_q, 2 * half), jnp.int32),   # beam keys
             pltpu.VMEM((block_q, 2 * half), jnp.int32),   # expanded flags
-            pltpu.VMEM((block_q, S, LANES), jnp.uint32),  # fused rows
+            pltpu.VMEM((block_q, 1, LANES), jnp.int32),   # packed-id rows
+            pltpu.VMEM((block_q, S, LANES), jnp.uint32),  # fused data rows
             pltpu.VMEM((block_q, 1), jnp.int32),          # expansion ids
             pltpu.VMEM((block_q, 1), jnp.int32),          # done flags
             pltpu.SemaphoreType.DMA,
@@ -417,5 +478,5 @@ def fused_beam_search(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(qt, init_keys.reshape(B, 1), table)
+    )(qt, init_keys.reshape(B, 1), table.ids, table.data)
     return keys, vis[:, 0], stp[:, 0]

@@ -16,6 +16,8 @@ def enable(cache_dir: str | None = None) -> None:
     d = cache_dir or os.environ.get(
         "HNSW_TPU_COMPILE_CACHE", os.path.expanduser("~/.jax_cache")
     )
+    if not d:  # HNSW_TPU_COMPILE_CACHE="" disables (the CPU test suite:
+        return  # XLA CHECK-aborts serializing sharded CPU executables)
     os.makedirs(d, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", d)

@@ -214,6 +214,95 @@ int64_t build_range(const Dist& dist, HostGraph& g, int64_t n0, int64_t n1,
   return n1 - n0;
 }
 
+// Distance adapter for hierarchy layers: layer slot -> base point via the
+// node_ids map, so the generic search/select/insert templates run unchanged
+// on level graphs (the reference's SimpleGraph<(P, Idx)> layers,
+// hnsw.rs:9-10, as array views).
+template <typename Base, typename Q>
+struct LevelDist {
+  Base base;
+  const int32_t* node_ids;
+  int32_t words;  // query stride (same as base)
+  inline int32_t operator()(int64_t a, const Q* q) const {
+    return base(node_ids[a], q);
+  }
+  const Q* point(int64_t a) const { return base.point(node_ids[a]); }
+};
+
+// Full-hierarchy sequential insert — IndexBuilder::add for HNSW
+// (hnsw.rs:183-244): per-point level (pre-drawn by the caller so the level
+// RNG stream lives in one place), greedy ef=1 descent through layers above
+// the draw, insert_idx per layer top->down, then the base insert. One
+// deliberate deviation, documented in docs/PARITY.md: the reference chains
+// entry points across layers in the WRONG index space (a layer-l neighbor
+// Idx is reused as a layer-(l-1) entry, hnsw.rs:220-231); here descent
+// follows the down pointer of the nearest selected neighbor.
+template <typename Dist, typename Q>
+int64_t build_hnsw_range(const Dist& dist, HostGraph& base, int64_t n0,
+                         int64_t n1, int m, int efc, const int32_t* draws,
+                         int32_t max_levels, const int64_t* level_caps,
+                         std::vector<HostGraph>& lgraphs,
+                         std::vector<int32_t*>& lnode_ids,
+                         std::vector<int32_t*>& ldown, int64_t* level_ns,
+                         int64_t* ep_io) {
+  Visited vis;
+  std::vector<DistId> beam, kept, scratch;
+  int32_t n_layers = 0;
+  for (int32_t l = 0; l < max_levels; ++l)
+    if (level_ns[l] > 0) n_layers = l + 1;
+  int64_t ep = *ep_io;
+
+  for (int64_t i = n0; i < n1; ++i) {
+    const Q* q = dist.point(i);
+    int32_t L = std::min<int32_t>(draws[i], max_levels);
+    // register in layers [0, L): node_ids = base id, down = slot below
+    std::vector<int64_t> slots(L, -1);
+    for (int32_t l = 0; l < L; ++l) {
+      if (level_ns[l] >= level_caps[l]) {  // out of preallocated rows:
+        L = l;                             // clamp the draw (caps carry 8x
+        slots.resize(L);                   // headroom; effectively unreached)
+        break;
+      }
+      int64_t s = level_ns[l]++;
+      lnode_ids[l][s] = (int32_t)i;
+      ldown[l][s] = (int32_t)(l == 0 ? i : slots[l - 1]);
+      slots[l] = s;
+    }
+    int32_t old_layers = n_layers;
+    if (L > n_layers) n_layers = L;
+
+    // greedy descent from the old top through layers [L, old_layers)
+    int64_t cur = ep;  // slot in layer old_layers-1, or base id if none
+    for (int32_t l = old_layers - 1; l >= L; --l) {
+      LevelDist<Dist, Q> ld{dist, lnode_ids[l], dist.words};
+      search(lgraphs[l], ld, q, 1, (int32_t)cur, vis, level_ns[l], beam);
+      cur = ldown[l][beam.front().second];
+    }
+
+    // insert_idx per occupied layer, top -> down (hnsw.rs:220-231); layers
+    // at or above old_layers hold only this point (no peers to link yet)
+    for (int32_t l = std::min<int32_t>(L, old_layers) - 1; l >= 0; --l) {
+      LevelDist<Dist, Q> ld{dist, lnode_ids[l], dist.words};
+      search(lgraphs[l], ld, q, efc, (int32_t)cur, vis, level_ns[l], beam);
+      select_neighbors(ld, beam, m, kept);
+      std::vector<DistId> nbrs = kept;
+      insert_neighbors(lgraphs[l], ld, (int32_t)slots[l], nbrs, scratch,
+                       kept);
+      cur = ldown[l][nbrs.front().second];
+    }
+
+    // base insert (hnsw.rs:234-243)
+    search(base, dist, q, efc, (int32_t)cur, vis, n1, beam);
+    select_neighbors(dist, beam, m, kept);
+    std::vector<DistId> nbrs = kept;
+    insert_neighbors(base, dist, (int32_t)i, nbrs, scratch, kept);
+
+    if (L > old_layers) ep = slots[L - 1];  // new top level: new entry point
+  }
+  *ep_io = ep;
+  return n1 - n0;
+}
+
 template <typename Dist, typename Q>
 void knns(const Dist& dist, const HostGraph& g, int64_t n, const Q* queries,
           int64_t nq, int k, int ef, const int32_t* eps, int32_t ep_scalar,
@@ -250,7 +339,7 @@ void knns(const Dist& dist, const HostGraph& g, int64_t n, const Q* queries,
 
 extern "C" {
 
-int32_t hnsw_host_abi_version() { return 2; }
+int32_t hnsw_host_abi_version() { return 3; }
 
 // Hamming distance of two packed-u32 sketches (golden-test hook).
 int32_t hnsw_host_hamming(const uint32_t* a, const uint32_t* b, int32_t words) {
@@ -273,6 +362,48 @@ int64_t hnsw_host_build(const void* points, int32_t words, int32_t metric,
   } else if (metric == 1) {
     SqL2 d{(const int32_t*)points, words};
     return build_range<SqL2, int32_t>(d, g, n0, n1, m, efc, ep);
+  }
+  return -1;
+}
+
+// Full-hierarchy sequential HNSW build (IndexBuilder::add semantics,
+// hnsw.rs:183-244). ``draws`` holds the caller's per-point level draws (the
+// deterministic RNG stream lives in Python). Level arrays are CONCATENATED
+// buffers: level l's rows start at sum(level_caps[:l]) (adj: * W).
+// ``level_ns`` carries node counts in/out; ``ep_io`` the entry slot in the
+// top level (a base id while no levels exist). Returns inserts done, -1 on
+// bad arguments.
+int64_t hnsw_host_build_hnsw(const void* points, int32_t words,
+                             int32_t metric, int32_t* adj, int32_t* deg,
+                             int64_t cap, int32_t W, int64_t n0, int64_t n1,
+                             int32_t m, int32_t efc, const int32_t* draws,
+                             int32_t max_levels, const int64_t* level_caps,
+                             int32_t* lvl_node_ids, int32_t* lvl_down,
+                             int32_t* lvl_adj, int32_t* lvl_deg,
+                             int64_t* level_ns, int64_t* ep_io) {
+  if (n1 > cap || n0 < 0 || n0 > n1 || W <= 0 || words <= 0 ||
+      max_levels < 0)
+    return -1;
+  HostGraph base{adj, deg, cap, W};
+  std::vector<HostGraph> lgraphs;
+  std::vector<int32_t*> lnode_ids, ldown;
+  int64_t off = 0;
+  for (int32_t l = 0; l < max_levels; ++l) {
+    lgraphs.push_back({lvl_adj + off * W, lvl_deg + off, level_caps[l], W});
+    lnode_ids.push_back(lvl_node_ids + off);
+    ldown.push_back(lvl_down + off);
+    off += level_caps[l];
+  }
+  if (metric == 0) {
+    Hamming d{(const uint32_t*)points, words};
+    return build_hnsw_range<Hamming, uint32_t>(
+        d, base, n0, n1, m, efc, draws, max_levels, level_caps, lgraphs,
+        lnode_ids, ldown, level_ns, ep_io);
+  } else if (metric == 1) {
+    SqL2 d{(const int32_t*)points, words};
+    return build_hnsw_range<SqL2, int32_t>(
+        d, base, n0, n1, m, efc, draws, max_levels, level_caps, lgraphs,
+        lnode_ids, ldown, level_ns, ep_io);
   }
   return -1;
 }

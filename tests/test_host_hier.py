@@ -79,6 +79,58 @@ def test_host_descent_matches_reference_semantics():
     assert rec_dev >= 0.85, rec_dev
 
 
+def test_host_warmup_builds_hierarchy():
+    """host_warmup = size (the --single-threaded build) must produce a real
+    HNSW — per-point level draws, populated level graphs, top-level entry
+    point (hnsw.rs:183-244) — not a flat base graph, and query recall must
+    match the device-built hierarchy."""
+    rng = np.random.default_rng(11)
+    centers = rng.integers(0, 2**32, size=(24, 32), dtype=np.uint32)
+    N, k = 2000, 10
+    pts = _clustered(rng, N, centers)
+    qs = _clustered(rng, 64, centers)
+
+    opts = IndexOptions(ef_construction=48, connections=12,
+                        max_connections=24, size=N, batch_size=128,
+                        host_warmup=N)
+    b = HNSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    # the warmup alone must have formed levels (E[n1] = N/m ~ 166)
+    assert b.level_ns and b.level_ns[0] > 50
+    idx = b.build()
+    assert idx.level_ns == b.level_ns
+    # entry point is a top-level slot whose down-chain reaches the base
+    assert 0 <= idx.ep < idx.level_ns[-1]
+    base_ep = idx.base_ep()
+    assert 0 <= base_ep < N
+    # level node ids are valid base rows; down pointers index the level
+    # below (or base)
+    for li, (lv, nl) in enumerate(zip(idx.levels, idx.level_ns)):
+        ids = np.asarray(lv.node_ids)[:nl]
+        down = np.asarray(lv.down)[:nl]
+        assert ((ids >= 0) & (ids < N)).all()
+        below = N if li == 0 else idx.level_ns[li - 1]
+        assert ((down >= 0) & (down < below)).all()
+        deg = np.asarray(lv.graph.deg)[:nl]
+        if nl > 1:
+            assert deg.max() > 0  # layers are actually wired
+
+    d_bf, i_bf = native.host_bruteforce(np.asarray(idx.points)[:N], "hamming",
+                                        qs, k)
+    r = idx.knns(qs, k, 64)
+    rec_host = recall_at_k(np.asarray(r.ids), i_bf, k)
+
+    opts_dev = IndexOptions(ef_construction=48, connections=12,
+                            max_connections=24, size=N, batch_size=128,
+                            host_warmup=0)
+    bd = HNSWBuilder(opts_dev, metric="hamming")
+    bd.extend_batched(pts)
+    rd = bd.build().knns(qs, k, 64)
+    rec_dev = recall_at_k(np.asarray(rd.ids), i_bf, k)
+    assert rec_host >= rec_dev - 0.03, (rec_host, rec_dev)
+    assert rec_host >= 0.9, rec_host
+
+
 def test_cli_single_threaded_uses_descent(tmp_path):
     """End-to-end: the CLI --single-threaded HNSW query returns high-recall
     results through the hierarchy."""

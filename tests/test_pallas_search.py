@@ -32,19 +32,23 @@ def test_fused_table_layout():
     rng = np.random.default_rng(3)
     cap, w, words = 64, 16, 32
     pts, adj = _random_graph(rng, cap, w, words)
-    table = np.asarray(materialize_fused(jnp.asarray(pts), jnp.asarray(adj)))
+    ft = materialize_fused(jnp.asarray(pts), jnp.asarray(adj))
+    table, ids = np.asarray(ft.data), np.asarray(ft.ids)
     W = fused_width(w)
     REP = LANES // W
+    PA = LANES // W
     S = fused_subrows(W, words)
     assert S % 8 == 0  # exact (8, 128) tiling: no hidden pad or relayout
     assert table.shape == (cap, S, LANES)
     # pad subrows are zero
-    assert (table[:, 1 + words // REP :, :] == 0).all()
-    # header subrow: adjacency ids (two's complement), -1 beyond width
-    hdr = table[:, 0, :].astype(np.int64)
-    hdr = np.where(hdr >= 2**31, hdr - 2**32, hdr)
-    assert (hdr[:, :w] == adj).all()
-    assert (hdr[:, w:] == -1).all()
+    assert (table[:, words // REP :, :] == 0).all()
+    # packed-id plane: node e's ids at lanes (e % PA)*W..+W of row e // PA
+    assert ids.shape == (cap // PA, 1, LANES)
+    for e in (0, 13, cap - 1):
+        lane0 = (e % PA) * W
+        got = ids[e // PA, 0, lane0 : lane0 + W]
+        assert (got[:w] == adj[e]).all()
+        assert (got[w:] == -1).all()
     # data subrows: lane r*W + n = word s*REP + r of neighbor n
     safe = np.clip(adj, 0, cap - 1)
     for e in (0, 13, cap - 1):
@@ -52,7 +56,7 @@ def test_fused_table_layout():
             for l in (0, 1, W - 1, W, LANES - 1):
                 r, n = l // W, l % W
                 want = pts[safe[e, n], s * REP + r] if n < w else 0
-                assert table[e, 1 + s, l] == want, (e, s, l)
+                assert table[e, s, l] == want, (e, s, l)
 
 
 def test_query_tiles_layout():
@@ -104,3 +108,48 @@ def test_fused_matches_xla_packed(w, ef):
     np.testing.assert_array_equal(got_i[:, :ef], np.asarray(ref.ids))
     np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref.visited))
     np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
+
+
+def test_fused_clamped_keys():
+    """With id_bits past the raw-bound limit (the >2^20-id regime), the
+    kernel clamps distances into the packed key and still matches the XLA
+    path when no distance exceeds the clamp (low-diameter data)."""
+    from hnsw_itu_tpu.ops.pallas_search import key_clamp
+
+    cap, w, words, B, ef = 256, 16, 32, 32, 24
+    id_bits = 25  # dist bits = 6 -> clamp = 62
+    max_d = key_clamp(id_bits, words * 32)
+    assert max_d == 62
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 2**32, size=(words,), dtype=np.uint32)
+    flips = np.packbits(
+        rng.random((cap, words * 32)) < 0.02, axis=-1
+    ).view(np.uint32)  # ~20 bit flips -> pairwise distances <= ~45 < 62
+    pts = base[None] ^ flips
+    adj = np.full((cap, w), -1, np.int32)
+    for i in range(cap):
+        adj[i] = rng.choice(cap, size=w, replace=False)
+    qs = pts[rng.integers(0, cap, size=B)]
+    metric = get_metric("hamming")
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+    ref = batched_beam_search(
+        lambda ids: pts_j[ids], adj_j, qs_j, jnp.zeros((B,), jnp.int32),
+        ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+        dedup="beam",
+    )
+    table = materialize_fused(pts_j, adj_j)
+    d0 = jnp.sum(
+        jax.lax.population_count(qs_j ^ pts_j[0][None]), axis=1
+    ).astype(jnp.int32)
+    keys, vis, stp = fused_beam_search(
+        table, qs_j, (jnp.minimum(d0, max_d) << id_bits) | 0, ef=ef,
+        W=fused_width(w), words=words, id_bits=id_bits, max_d=words * 32,
+        max_steps=256, block_q=B, interpret=True,
+    )
+    kinf = (max_d + 1) << id_bits
+    keys = np.asarray(keys)
+    got_d = np.where(keys < kinf, keys >> id_bits, np.iinfo(np.int32).max)
+    got_i = np.where(keys < kinf, keys & ((1 << id_bits) - 1),
+                     np.iinfo(np.int32).max)
+    np.testing.assert_array_equal(got_d[:, :ef], np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i[:, :ef], np.asarray(ref.ids))

@@ -63,4 +63,7 @@ def test_warmup_covers_everything_hnsw():
     assert h.size() == n
     r = h.search(pts[7], 3, 16)
     assert int(np.asarray(r.ids)[0]) == 7
-    assert h.base_ep() == 0
+    # the warmup now builds the hierarchy natively: the entry point is a
+    # top-level slot (the last point that raised the top, hnsw.rs:207-210)
+    # whose down-chain lands on a valid base row
+    assert 0 <= h.base_ep() < n
