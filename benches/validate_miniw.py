@@ -70,7 +70,7 @@ log("GT done")
 qs_dev = jnp.asarray(qsn)
 adj = index.base.adj
 
-for Wm, mw in ((64, 3), (32, 7), (64, 7), (32, 15)):
+for Wm, mw in [tuple(map(int, c.split(","))) for c in (sys.argv[1:] or ["64,3", "32,7", "64,7", "32,15"])]:
     t0 = time.perf_counter()
     mini = materialize_mini(index.points, adj[:, :Wm], mini_words=mw)
     np.asarray(mini[:1, :1, :1])

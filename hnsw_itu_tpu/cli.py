@@ -54,21 +54,30 @@ def format_size_string(size: int) -> str:
     return str(size)
 
 
-def _load_sketches(path, dataset="hamming", start=0, length=None):
-    """Stream the HDF5 u64 sketches and pack to uint32 words."""
-    with BufferedDataset.open(path, dataset) as ds:
-        blocks = [sketches_from_u64(b) for b in ds.iter_chunks(start, length)]
+def _load_points(path, metric="hamming", start=0, length=None):
+    """Stream the HDF5 dataset named after ``metric``. The reference is
+    hamming-only (u64 sketch words, packed here to uint32); the l2/l2int
+    generalization opens a same-named dataset of float32 / int32 vectors."""
+    with BufferedDataset.open(path, metric) as ds:
+        if metric == "hamming":
+            blocks = [sketches_from_u64(b)
+                      for b in ds.iter_chunks(start, length)]
+        else:
+            dt = np.float32 if metric == "l2" else np.int32
+            blocks = [np.asarray(b, dtype=dt)
+                      for b in ds.iter_chunks(start, length)]
     if not blocks:
         return np.zeros((0, 32), np.uint32)
     return np.concatenate(blocks, axis=0)
 
 
 def build_index(datafile, algorithm: str, opts: IndexOptions,
-                single_threaded: bool, start=None, length=None):
+                single_threaded: bool, start=None, length=None,
+                metric: str = "hamming"):
     """build_index parity (main.rs:111-179): open, range-slice, build with
     progress + timing, fill ResultAttrs."""
     log.info("Opening %s", datafile)
-    with BufferedDataset.open(datafile, "hamming") as ds:
+    with BufferedDataset.open(datafile, metric) as ds:
         total = ds.size()
     skip = start or 0
     take = length if length is not None else total
@@ -76,23 +85,31 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
     if take != size:
         log.warning("Dataset range will be smaller than specified len (%d)", size)
 
-    pts = _load_sketches(datafile, start=skip, length=take)
+    pts = _load_points(datafile, metric, start=skip, length=take)
     opts.size = size
     log.info("Building index size=%d algorithm=%s single_threaded=%s",
              size, algorithm, single_threaded)
     t0 = time.perf_counter()
     if algorithm == "bruteforce":
-        idx = Bruteforce("hamming")
+        idx = Bruteforce(metric)
         idx.extend(pts)
         idx.build()
     else:
         builder_cls = NSWBuilder if algorithm == "nsw" else HNSWBuilder
         if single_threaded:
+            from . import native
+
+            if metric not in native.METRIC_CODE:
+                raise SystemExit(
+                    f"--single-threaded builds need the native host engine, "
+                    f"which supports {sorted(native.METRIC_CODE)} — not "
+                    f"{metric!r}"
+                )
             # exact sequential insert ordering (`--single-threaded`,
             # main.rs:203-210): route the whole build through the native
             # host engine (exact reference semantics, one thread)
             opts.host_warmup = size
-        b = builder_cls(opts, metric="hamming")
+        b = builder_cls(opts, metric=metric)
 
         def progress(done, total=size, _last=[0]):
             # build heartbeat every 100k rows with percent (main.rs:140-146)
@@ -115,6 +132,7 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
 
     attrs = ResultAttrs(
         format_size=start is None and length is None,
+        data=metric,
         size=size,
         algo={"bruteforce": "Bruteforce", "nsw": "Nsw", "hnsw": "Hnsw"}[algorithm],
         buildtime=buildtime,
@@ -130,13 +148,20 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
     if k > ef:
         log.error("k=%d is greater than ef=%d, this can have adverse effects", k, ef)
     log.info("Opening %s", queryfile)
-    qs = _load_sketches(queryfile)
+    qs = _load_points(queryfile, index.metric.name)
     log.info("Start querying k=%d ef=%d queries=%d single_threaded=%s",
              k, ef, qs.shape[0], single_threaded)
     t0 = time.perf_counter()
     if single_threaded and not isinstance(index, Bruteforce):
         # host engine, one thread: serial map over queries (main.rs:203-210)
         from . import native
+
+        if index.metric.name not in native.METRIC_CODE:
+            raise SystemExit(
+                f"--single-threaded queries need the native host engine, "
+                f"which supports {sorted(native.METRIC_CODE)} — not "
+                f"{index.metric.name!r}"
+            )
 
         points_np = np.asarray(index.points)
         eps = None
@@ -239,7 +264,7 @@ def _opts_from_args(a) -> IndexOptions:
 
 def cmd_query(a):
     idx, attrs = build_index(a.datafile, a.algorithm, _opts_from_args(a),
-                             a.single_threaded)
+                             a.single_threaded, metric=a.metric)
     if a.indexfile:
         log.info("Serializing index to %s", a.indexfile)
         save_index(a.indexfile, idx, attrs)
@@ -250,7 +275,8 @@ def cmd_query(a):
 
 def cmd_index(a):
     idx, attrs = build_index(a.datafile, a.algorithm, _opts_from_args(a),
-                             a.single_threaded, a.start, a.len)
+                             a.single_threaded, a.start, a.len,
+                             metric=a.metric)
     log.info("Serializing index to %s (size=%d)", a.outfile, idx.size())
     save_index(a.outfile, idx, attrs)
 
@@ -268,7 +294,7 @@ def cmd_ground_truth(a):
     """ground-truth parity (main.rs:716-753): brute-force scan, write knns
     AND dists datasets (both u64, ids 1-based)."""
     idx, attrs = build_index(a.datafile, "bruteforce", IndexOptions(),
-                             False, a.start, a.len)
+                             False, a.start, a.len, metric=a.metric)
     dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.k)
     ids, dists = _pad_short_results(ids, dists, a.k)
     if a.sort:
@@ -280,9 +306,13 @@ def cmd_ground_truth(a):
 
     with h5py.File(a.outfile, "w") as f:
         knns = BufferedDataset.with_file(f, (ids.shape[0], a.k), "knns")
-        dd = BufferedDataset.with_file(f, (ids.shape[0], a.k), "dists")
+        # u64 dists match the reference's hamming-only output
+        # (main.rs:716-753); float metrics keep their fractional part
+        ddt = np.float64 if a.metric == "l2" else np.uint64
+        dd = BufferedDataset.with_file(f, (ids.shape[0], a.k), "dists",
+                                       dtype=ddt)
         knns.write_rows(ids.astype(np.uint64) + 1, 0)
-        dd.write_rows(dists.astype(np.uint64), 0)
+        dd.write_rows(dists.astype(ddt), 0)
 
 
 def _reachability(adj: np.ndarray, n: int, ep: int) -> int:
@@ -357,6 +387,10 @@ def make_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def common_build(sp):
+        # generalization past the reference's hamming-only CLI: the HDF5
+        # dataset is named after the metric (l2 = float32, l2int = int32)
+        sp.add_argument("--metric", choices=["hamming", "l2", "l2int"],
+                        default="hamming")
         sp.add_argument("-c", "--ef-construction", type=int, default=96)
         sp.add_argument("-m", "--connections", type=int, default=24)
         sp.add_argument("-M", "--max-connections", type=int, default=256)
@@ -402,6 +436,8 @@ def make_parser() -> argparse.ArgumentParser:
     gt.add_argument("-k", type=int, default=100)
     gt.add_argument("-s", "--sort", action=argparse.BooleanOptionalAction,
                     default=True)
+    gt.add_argument("--metric", choices=["hamming", "l2", "l2int"],
+                    default="hamming")
     gt.set_defaults(fn=cmd_ground_truth)
 
     ins = sub.add_parser("inspect", help="read information from an index")

@@ -258,6 +258,7 @@ class HNSW:
         self.fused = None  # fused Pallas base table (ops/pallas_search.py)
         self.mini = None  # inline mini table (ops/pallas_dma_search.py)
         self.mini_words = 0
+        self.mini_W = 0
 
     def size(self) -> int:
         return self.n
@@ -274,7 +275,7 @@ class HNSW:
             _fused_query_eligible, _inline_query_fits, _materialize_inline,
         )
 
-        from .nsw import _mini_words_for
+        from .nsw import _mini_config_for
 
         if (
             self.use_pallas
@@ -284,16 +285,17 @@ class HNSW:
             from ..ops.pallas_search import materialize_fused
 
             self.fused = materialize_fused(self.points, self.base.adj)
-        elif self.use_pallas and self.mini is None and _mini_words_for(
+        elif self.use_pallas and self.mini is None and _mini_config_for(
             self.points, self.base.adj, self.metric
-        ) > 0:
+        )[1] > 0:
             from ..ops.pallas_dma_search import materialize_mini
 
-            mw = _mini_words_for(self.points, self.base.adj, self.metric)
+            W, mw = _mini_config_for(self.points, self.base.adj, self.metric)
             self.mini = materialize_mini(
-                self.points, self.base.adj, mini_words=mw
+                self.points, self.base.adj[:, :W], mini_words=mw
             )
             self.mini_words = mw
+            self.mini_W = W
         elif self.adj_pts is None and _inline_query_fits(
             self.points, self.base.adj
         ):
@@ -355,7 +357,6 @@ class HNSW:
             q = qs[s : s + B]
             b = q.shape[0]
             if use_mini:
-                from ..ops.pallas_dma_search import fused_width_
                 from .nsw import _fused_batch
 
                 bp, block_q = _fused_batch(b)
@@ -373,7 +374,7 @@ class HNSW:
                     max_steps=self._steps_cap(ef),
                     n_levels=len(levels),
                     entry_sample=self.query_entry_sample,
-                    W=fused_width_(self.base.width),
+                    W=self.mini_W,
                     mini_words=self.mini_words,
                     block_q=block_q,
                 )

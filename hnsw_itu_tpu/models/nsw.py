@@ -11,6 +11,7 @@ with a progressive chunk schedule replacing the 50k sequential warmup.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -41,11 +42,17 @@ def _pad_rows_j(x: jax.Array, to: int) -> jax.Array:
     )
 
 
-def _fused_batch(b: int, max_block: int = 256) -> tuple[int, int]:
+def _fused_batch(b: int, max_block: int | None = None) -> tuple[int, int]:
     """(padded batch, block_q) for the fused kernel: the kernel requires
     batch % block_q == 0, so small batches round up to a power of two and
     large ones to a multiple of the block (a 1000-query batch must not
-    error where the XLA path accepted it)."""
+    error where the XLA path accepted it).
+
+    Default block: 512 — the two-plane repack cut per-query VMEM scratch
+    41% (16 data subrows, not the padded 24), which is what forced the
+    round-2 retreat to 256. Overridable via HNSW_TPU_BLOCK_Q for sweeps."""
+    if max_block is None:
+        max_block = int(os.environ.get("HNSW_TPU_BLOCK_Q", 512))
     if b <= max_block:
         bp = 1 << max(0, (b - 1)).bit_length()
         return max(bp, 8), max(bp, 8)
@@ -204,40 +211,52 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     return d[:, :k], i[:, :k], vis, stp
 
 
-def _mini_words_for(points, adj, metric) -> int:
-    """Largest eligible minisketch width for the inline mini table
-    (ops/pallas_dma_search.py) under the inline-memory budget, or 0 when
-    the mini path cannot serve queries. The mini table is the >fused-limit
-    regime: the fused table (~8.5KB/node) stops fitting HBM past ~1.3M
-    nodes, while the mini rows (512B-2KB/node) carry ids + truncated
-    sketches for estimated-distance search with an exact rerank."""
+def _mini_config_for(points, adj, metric) -> tuple[int, int]:
+    """(W, mini_words) for the inline mini table (ops/pallas_dma_search.py)
+    under the inline-memory budget, or (0, 0) when the mini path cannot
+    serve queries. The mini table is the >fused-limit regime: the fused
+    table (~8.5KB/node) stops fitting HBM past ~1.3M nodes, while the mini
+    rows (512B-2KB/node) carry ids + truncated sketches for
+    estimated-distance search with an exact rerank.
+
+    At EQUAL row bytes, estimate bits beat edge count (200k hardware
+    shootout, benches/validate_miniw.py: W=32/mw=7 recall 0.9375 at ef=96
+    vs W=64/mw=3 at 0.8460; W=32/mw=15 0.9422 at ef=64 vs W=64/mw=7
+    0.8027) — so the graph row is TRUNCATED to its first W edges (the
+    diversity-selected forward edges come first) to buy prefix words.
+    Policy: the highest mini_words that fits, widest W at equal mw; W
+    floors at 32 (below that the truncation cuts into the m=24 forward
+    edges and navigation degrades)."""
     import os
 
     from ..ops.pallas_dma_search import fused_width_, mini_subrows
 
     if metric.name != "hamming" or points is None:
-        return 0
+        return 0, 0
     if jax.default_backend() not in ("tpu", "axon"):
-        return 0
+        return 0, 0
     words = int(np.prod(points.shape[1:]))
     cap = adj.shape[0]
     try:
-        W = fused_width_(adj.shape[1])
+        Wfull = fused_width_(adj.shape[1])
     except ValueError:
-        return 0
+        return 0, 0
     budget = int(float(os.environ.get("HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
-    best = 0
-    for mw in range(min(words, 15), 0, -1):
-        try:
-            S = mini_subrows(W, mw)
-        except ValueError:
+    best = (0, 0)  # (mw, W), lexicographic
+    for W in (64, 32):
+        if W > Wfull:
             continue
-        if (1 + mw) % (128 // W) != 0:
-            continue
-        if cap * S * 128 * 4 <= budget:
-            best = mw
-            break
-    return best
+        for mw in range(min(words, 15), 0, -1):
+            if (1 + mw) % (LANES // W) != 0:
+                continue
+            try:
+                S = mini_subrows(W, mw)
+            except ValueError:
+                continue
+            if cap * S * LANES * 4 <= budget:
+                best = max(best, (mw, W))
+                break
+    return best[1], best[0]
 
 
 @functools.partial(
@@ -335,6 +354,7 @@ class NSW:
         self.fused = None  # fused Pallas table (ops/pallas_search.py)
         self.mini = None  # inline mini table (ops/pallas_dma_search.py)
         self.mini_words = 0
+        self.mini_W = 0
 
     def size(self) -> int:
         return self.n
@@ -362,14 +382,15 @@ class NSW:
             self.fused = materialize_fused(self.points, self.graph.adj)
             return
         if self.use_pallas and self.mini is None:
-            mw = _mini_words_for(self.points, self.graph.adj, self.metric)
+            W, mw = _mini_config_for(self.points, self.graph.adj, self.metric)
             if mw > 0:
                 from ..ops.pallas_dma_search import materialize_mini
 
                 self.mini = materialize_mini(
-                    self.points, self.graph.adj, mini_words=mw
+                    self.points, self.graph.adj[:, :W], mini_words=mw
                 )
                 self.mini_words = mw
+                self.mini_W = W
                 return
         if self.adj_pts is None and _inline_query_fits(self.points, self.graph.adj):
             self.adj_pts = _materialize_inline(self.points, self.graph.adj)
@@ -415,8 +436,6 @@ class NSW:
                 bp = b if b == B else 1 << (b - 1).bit_length()
             qb = _pad_rows_j(q, bp)
             if use_mini:
-                from ..ops.pallas_dma_search import fused_width_
-
                 d, i, vis, st = _query_step_mini(
                     self.points,
                     self.mini,
@@ -428,7 +447,7 @@ class NSW:
                     metric_name=self.metric.name,
                     max_steps=self._steps_cap(ef),
                     entry_sample=self.query_entry_sample,
-                    W=fused_width_(self.graph.width),
+                    W=self.mini_W,
                     mini_words=self.mini_words,
                     block_q=block_q,
                 )

@@ -135,3 +135,38 @@ def test_cli_index_start_len(data):
     idx, attrs = load_index(idxf)
     assert idx.size() == 50
     assert attrs.format_size is False
+
+
+def test_cli_metric_l2_end_to_end(tmp_path):
+    """--metric generalization past the reference's hamming-only CLI: an
+    l2 float dataset flows through query, ground-truth, and evaluate."""
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(240, 24)).astype(np.float32)
+    qs = pts[:16] + rng.normal(scale=0.01, size=(16, 24)).astype(np.float32)
+    d, q = tmp_path / "l2.h5", tmp_path / "l2q.h5"
+    with h5py.File(d, "w") as f:
+        f.create_dataset("l2", data=pts)
+    with h5py.File(q, "w") as f:
+        f.create_dataset("l2", data=qs)
+    res, gt = tmp_path / "res.h5", tmp_path / "gt.h5"
+    assert main(["-q", "query", "--metric", "l2", "-d", str(d), "-Q", str(q),
+                 "-o", str(res), "-k", "5", "-e", "32", "-c", "32",
+                 "-m", "8", "-M", "16", "--sort"]) == 0
+    assert main(["-q", "ground-truth", "--metric", "l2", "-d", str(d),
+                 "-Q", str(q), "-o", str(gt), "-k", "5"]) == 0
+    with h5py.File(gt) as f:
+        assert f["dists"].dtype == np.float64  # float metrics keep fractions
+        # each query sits ~0.01 from its source point
+        assert (f["dists"][...][:, 0] < 0.1).all()
+    assert recall_files(res, gt, 5) >= 0.9
+
+
+def test_cli_single_threaded_l2_rejected(tmp_path):
+    """The host engine is hamming/l2int-only; -S with l2 must error, not
+    silently fall back to a parallel build."""
+    d = tmp_path / "l2.h5"
+    with h5py.File(d, "w") as f:
+        f.create_dataset("l2", data=np.zeros((10, 4), np.float32))
+    with pytest.raises(SystemExit):
+        main(["-q", "query", "--metric", "l2", "-S", "-d", str(d),
+              "-Q", str(d), "-o", str(tmp_path / "r.h5")])
