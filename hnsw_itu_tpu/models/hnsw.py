@@ -277,15 +277,16 @@ class HNSW:
 
         from .nsw import _mini_config_for
 
+        fresh = self.fused is None and self.mini is None  # one table, once
         if (
-            self.use_pallas
-            and self.fused is None
+            fresh
+            and self.use_pallas
             and _fused_query_eligible(self.points, self.base.adj, self.metric)
         ):
             from ..ops.pallas_search import materialize_fused
 
             self.fused = materialize_fused(self.points, self.base.adj)
-        elif self.use_pallas and self.mini is None and _mini_config_for(
+        elif fresh and self.use_pallas and _mini_config_for(
             self.points, self.base.adj, self.metric
         )[1] > 0:
             from ..ops.pallas_dma_search import materialize_mini
@@ -296,7 +297,7 @@ class HNSW:
             )
             self.mini_words = mw
             self.mini_W = W
-        elif self.adj_pts is None and _inline_query_fits(
+        elif fresh and self.adj_pts is None and _inline_query_fits(
             self.points, self.base.adj
         ):
             self.adj_pts = _materialize_inline(self.points, self.base.adj)

@@ -194,16 +194,21 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     # sort the batch by entry distance: lockstep blocks terminate at their
     # slowest member, and entry distance predicts search depth — grouping
     # shallow queries together lets whole blocks exit early (the divergence
-    # cost is >10x on clustered data, benches/RESULTS.md)
-    order = jnp.argsort(d0)
-    inv = jnp.argsort(order)
-    qs_s, d0_s, eps_s = qs[order], d0[order], eps[order]
-    init = (jnp.minimum(d0_s, max_d) << id_bits) | eps_s
+    # cost is >10x on clustered data, benches/RESULTS.md).
+    # HNSW_TPU_SORT_QUERIES=0 disables (perf experiments only; read at
+    # trace time, so flip it before the first call of a given shape)
+    sort_q = os.environ.get("HNSW_TPU_SORT_QUERIES", "1") != "0"
+    if sort_q:
+        order = jnp.argsort(d0)
+        inv = jnp.argsort(order)
+        qs, d0, eps = qs[order], d0[order], eps[order]
+    init = (jnp.minimum(d0, max_d) << id_bits) | eps
     keys, vis, stp = fused_beam_search(
-        fused, qs_s, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
+        fused, qs, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
         max_d=max_d, max_steps=max_steps, block_q=block_q,
     )
-    keys, vis, stp = keys[inv], vis[inv], stp[inv]
+    if sort_q:
+        keys, vis, stp = keys[inv], vis[inv], stp[inv]
     kinf = (max_d + 1) << id_bits
     valid = keys < kinf
     d = jnp.where(valid, keys >> id_bits, metric.inf)
@@ -229,7 +234,7 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
     edges and navigation degrades)."""
     import os
 
-    from ..ops.pallas_dma_search import fused_width_, mini_subrows
+    from ..ops.pallas_dma_search import LANES, fused_width_, mini_subrows
 
     if metric.name != "hamming" or points is None:
         return 0, 0
@@ -371,7 +376,9 @@ class NSW:
         costs ~W x points memory; pays off on query throughput (HBM
         gathers of 128B rows are descriptor-bound). Queries are read-only
         (single copy), so the limit is higher than the build-side one.
-        No-op if it would not fit."""
+        No-op if it would not fit — and idempotent: one table, built once."""
+        if self.fused is not None or self.mini is not None:
+            return
         if (
             self.use_pallas
             and self.fused is None
@@ -381,7 +388,7 @@ class NSW:
 
             self.fused = materialize_fused(self.points, self.graph.adj)
             return
-        if self.use_pallas and self.mini is None:
+        if self.use_pallas and self.fused is None and self.mini is None:
             W, mw = _mini_config_for(self.points, self.graph.adj, self.metric)
             if mw > 0:
                 from ..ops.pallas_dma_search import materialize_mini
