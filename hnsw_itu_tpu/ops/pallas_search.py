@@ -201,15 +201,20 @@ def _cmpx(keys, flags, j, asc):
     return nk, jnp.where(take, pf, flags)
 
 
-def _bitonic_sort(keys, *, descending: bool):
+def _bitonic_sort(keys, *, descending: bool, span: int | None = None):
     """Full bitonic sort along lanes (single plane). Lane count must be a
-    power of two."""
+    power of two. With ``span`` set (a power of two < lane count), each
+    contiguous ``span``-lane group sorts INDEPENDENTLY — exchanges at
+    distance j < span never cross a span boundary, so the same roll-based
+    network sorts every group at once (the two-queries-per-row packing)."""
     L = keys.shape[-1]
+    S = span or L
     lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+    elem = lane & (S - 1)  # position within the span group
     k = 2
-    while k <= L:
-        # (lane & k) == 0 is all-True at k == L, i.e. one final full pass
-        asc = (lane & k) == 0
+    while k <= S:
+        # (elem & k) == 0 is all-True at k == S, i.e. one final full pass
+        asc = (elem & k) == 0
         if descending:
             asc = jnp.logical_not(asc)
         j = k // 2
@@ -233,9 +238,226 @@ def _bitonic_merge(keys, flags):
     return keys, flags
 
 
+def _merge_packed(kb, fb, ck, fc, span):
+    """Two-queries-per-row ascending merge. Per ``span``-lane group g of
+    each row, (kb group g, ck group g) is a bitonic 2*span sequence
+    (ascending beam ++ descending candidates). The distance-``span`` step
+    of its merge pairs kb lane l with ck lane l — a cross-PLANE elementwise
+    swap, no roll — and every later step (j < span) stays inside one plane
+    and one group. Returns the merged first-``span`` halves (the new beams)
+    per group, i.e. the updated kb/fb planes."""
+    swap = ck < kb
+    kb, ck = jnp.where(swap, ck, kb), jnp.where(swap, kb, ck)
+    fb, fc = jnp.where(swap, fc, fb), jnp.where(swap, fb, fc)
+    asc = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1) >= 0
+    j = span // 2
+    while j >= 1:
+        kb, fb = _cmpx(kb, fb, j, asc)
+        ck, fc = _cmpx(ck, fc, j, asc)
+        j //= 2
+    return kb, fb, ck, fc
+
+
 # ---------------------------------------------------------------------------
-# the kernel
+# the kernels
 # ---------------------------------------------------------------------------
+
+
+def _make_kernel_packed(*, ef, W, words, id_bits, key_inf, max_steps, bq,
+                        cap):
+    """Two-queries-per-row variant (half == 64 only): queries 2i and 2i+1
+    share one 128-lane row — query a in lanes 0-63, query b in 64-127. The
+    bitonic networks at 64 lanes never exchange across the 64-lane
+    boundary, so the single-query kernel runs them at half-vreg occupancy;
+    packing doubles the work per vector op in the candidate sort, the
+    dedup rotation, and the frontier/bookkeeping, and turns the first
+    merge step into a cross-plane elementwise swap. Semantics are
+    IDENTICAL to _make_kernel (same keys, visited, steps)."""
+    SPAN = 64
+    bq2 = bq // 2
+    REP = LANES // W
+    S = fused_subrows(W, words)   # data subrows per table row (8-aligned)
+    SD = words // REP             # live data subrows
+    PA = LANES // W               # nodes per packed-id row
+    PA_SHIFT = PA.bit_length() - 1
+    MASK = np.int32((1 << id_bits) - 1)
+    KINF = np.int32(key_inf)
+    DCLAMP = np.int32((key_inf >> id_bits) - 1)
+    BIG = np.int32(0x7FFFFFFF)
+
+    def kernel(qt_ref, init_ref, ids_hbm, table_hbm, outk_ref, vis_ref,
+               stp_ref, kb, fb, arows, rows, eref, sem):
+        # ---- per-block init: entry keys at lane 0 (a) and lane 64 (b) ----
+        kb[:] = jnp.full((bq2, LANES), KINF, jnp.int32)
+        kb[:, 0:1] = init_ref[:, 0:1]
+        kb[:, SPAN : SPAN + 1] = init_ref[:, 1:2]
+        fb[:] = jnp.zeros((bq2, LANES), jnp.int32)
+        vis_ref[:] = jnp.ones((bq2, 2), jnp.int32)
+        stp_ref[:] = jnp.zeros((bq2, 2), jnp.int32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq2, LANES), 1)
+        isa = lane < SPAN
+        elem = lane & (SPAN - 1)
+        at0 = elem == 0  # first lane of each span group
+
+        def body(carry):
+            step, _ = carry
+            # ---- frontier per half: best unexpanded key ---------------------
+            masked = jnp.where(fb[:] != 0, BIG, kb[:])
+            min_a = jnp.min(jnp.where(isa, masked, BIG), axis=1,
+                            keepdims=True)
+            min_b = jnp.min(jnp.where(isa, BIG, masked), axis=1,
+                            keepdims=True)
+            worst_a = kb[:, ef - 1 : ef]
+            worst_b = kb[:, SPAN + ef - 1 : SPAN + ef]
+            done_a = (min_a >= KINF) | (min_a > worst_a)  # [bq2, 1]
+            done_b = (min_b >= KINF) | (min_b > worst_b)
+            minkey = jnp.where(isa, min_a, min_b)   # per-half broadcast
+            done_l = jnp.where(isa, done_a, done_b)
+            fb[:] = jnp.where(
+                (kb[:] == minkey) & jnp.logical_not(done_l), 1, fb[:]
+            )
+            eref[:, 0:1] = jnp.where(
+                done_a, 0, jnp.minimum(min_a & MASK, cap - 1)
+            )
+            eref[:, 1:2] = jnp.where(
+                done_b, 0, jnp.minimum(min_b & MASK, cap - 1)
+            )
+            stp_ref[:, 0:1] = stp_ref[:, 0:1] + jnp.where(done_a, 0, 1)
+            stp_ref[:, 1:2] = stp_ref[:, 1:2] + jnp.where(done_b, 0, 1)
+
+            # ---- fetch id + data rows: two DMAs per live query -------------
+            def issue(i, n):
+                ea = eref[i, 0]
+                eb = eref[i, 1]
+                pltpu.make_async_copy(
+                    ids_hbm.at[ea >> PA_SHIFT], arows.at[i, pl.ds(0, 1)], sem
+                ).start()
+                pltpu.make_async_copy(
+                    table_hbm.at[ea], rows.at[i, pl.ds(0, S)], sem
+                ).start()
+                pltpu.make_async_copy(
+                    ids_hbm.at[eb >> PA_SHIFT], arows.at[i, pl.ds(1, 1)], sem
+                ).start()
+                pltpu.make_async_copy(
+                    table_hbm.at[eb], rows.at[i, pl.ds(S, S)], sem
+                ).start()
+                return n
+
+            jax.lax.fori_loop(0, bq2, issue, 0, unroll=bq2)
+
+            def drain(i, n):
+                ea = eref[i, 0]
+                eb = eref[i, 1]
+                pltpu.make_async_copy(
+                    ids_hbm.at[ea >> PA_SHIFT], arows.at[i, pl.ds(0, 1)], sem
+                ).wait()
+                pltpu.make_async_copy(
+                    table_hbm.at[ea], rows.at[i, pl.ds(0, S)], sem
+                ).wait()
+                pltpu.make_async_copy(
+                    ids_hbm.at[eb >> PA_SHIFT], arows.at[i, pl.ds(1, 1)], sem
+                ).wait()
+                pltpu.make_async_copy(
+                    table_hbm.at[eb], rows.at[i, pl.ds(S, S)], sem
+                ).wait()
+                return n
+
+            jax.lax.fori_loop(0, bq2, drain, 0, unroll=bq2)
+
+            # ---- distances per half, packed into one candidate row ---------
+            def dists(data, qt):
+                pc = jax.lax.population_count(
+                    jnp.bitwise_xor(data, qt)
+                ).astype(jnp.int32)
+                acc = jnp.sum(pc, axis=1)  # [bq2, 128]
+                w = LANES
+                while w > W:
+                    w //= 2
+                    acc = acc[:, :w] + acc[:, w:]
+                if W < SPAN:
+                    acc = jnp.concatenate(
+                        [acc, jnp.zeros((bq2, SPAN - W), jnp.int32)], axis=1
+                    )
+                return acc  # [bq2, 64]
+
+            da = dists(rows[:, :SD, :], qt_ref[:, :SD, :])
+            db = dists(rows[:, S : S + SD, :], qt_ref[:, SD : 2 * SD, :])
+            d = jnp.minimum(
+                jnp.concatenate([da, db], axis=1), DCLAMP
+            )  # [bq2, 128]
+
+            # ---- adjacency lanes from the packed-id rows --------------------
+            def adjlanes(row, e):
+                if PA == 1:
+                    sel = row
+                else:
+                    grp = e & (PA - 1)  # [bq2, 1]
+                    sel = jnp.where(grp == 0, row, 0)
+                    for g in range(1, PA):
+                        sel = sel | jnp.where(
+                            grp == g,
+                            pltpu.roll(row, LANES - g * W, axis=1), 0,
+                        )
+                return sel  # valid in lanes 0..W-1
+
+            sel_a = adjlanes(arows[:, 0, :], eref[:, 0:1])
+            sel_b = adjlanes(arows[:, 1, :], eref[:, 1:2])
+            nbr = jnp.concatenate(
+                [sel_a[:, :SPAN], sel_b[:, :SPAN]], axis=1
+            )
+            nbr = jnp.where(elem < W, nbr, -1)
+            valid = (nbr >= 0) & jnp.logical_not(done_l)
+            ck = jnp.where(valid, (d << id_bits) | nbr, KINF)
+
+            # ---- dedup vs own beam: within-span rotation --------------------
+            def dd(i, c):
+                dup, bc = c
+                dup = dup | (ck == bc).astype(jnp.int32)
+                # rotate each 64-lane group independently: lane 0/64 wraps
+                # from its own group's last lane
+                bc = jnp.where(
+                    at0,
+                    pltpu.roll(bc, SPAN + 1, axis=1),
+                    pltpu.roll(bc, 1, axis=1),
+                )
+                return dup, bc
+
+            dup, _ = jax.lax.fori_loop(
+                0, SPAN, dd, (jnp.zeros((bq2, LANES), jnp.int32), kb[:])
+            )
+            ck = jnp.where(dup != 0, KINF, ck)
+            fr = (ck < KINF).astype(jnp.int32)
+            vis_ref[:, 0:1] = vis_ref[:, 0:1] + jnp.sum(
+                jnp.where(isa, fr, 0), axis=1, keepdims=True
+            )
+            vis_ref[:, 1:2] = vis_ref[:, 1:2] + jnp.sum(
+                jnp.where(isa, 0, fr), axis=1, keepdims=True
+            )
+
+            # ---- merge: per-span desc sort, cross-plane packed merge --------
+            cks = _bitonic_sort(ck, descending=True, span=SPAN)
+            nk, nf, _, _ = _merge_packed(
+                kb[:], fb[:], cks, jnp.zeros((bq2, LANES), jnp.int32), SPAN
+            )
+            if ef < SPAN:
+                evict = elem >= ef
+                nk = jnp.where(evict, KINF, nk)
+                nf = jnp.where(evict, 0, nf)
+            kb[:] = nk
+            fb[:] = nf
+
+            alive = jnp.logical_not(jnp.all(done_l))
+            return step + 1, alive
+
+        def cond(carry):
+            step, alive = carry
+            return alive & (step < max_steps)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        outk_ref[:] = kb[:]
+
+    return kernel, S
 
 
 def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
@@ -394,7 +616,7 @@ def _make_kernel(*, ef, half, W, words, id_bits, key_inf, max_steps, bq, cap,
     jax.jit,
     static_argnames=(
         "ef", "W", "words", "id_bits", "max_d", "max_steps", "block_q",
-        "interpret", "dma_unroll", "dma_mode",
+        "interpret", "dma_unroll", "dma_mode", "packed",
     ),
 )
 def fused_beam_search(
@@ -412,6 +634,7 @@ def fused_beam_search(
     interpret: bool = False,
     dma_unroll: int = 256,
     dma_mode: str = "loop",
+    packed: str = "auto",
 ):
     """Run the fused search. Returns (keys int32[B, half], visited int32[B],
     steps int32[B]); decode ids/distances with ``key >> id_bits`` /
@@ -419,7 +642,11 @@ def fused_beam_search(
     call site); ``init_keys`` holds each query's packed entry-point key
     (distances pre-clamped like the kernel's). ``W`` is the PHYSICAL fused
     width (fused_width of the adjacency). ``max_d`` is clamped in-kernel
-    to 2^(31 - id_bits) - 2 when the raw bound would overflow int32."""
+    to 2^(31 - id_bits) - 2 when the raw bound would overflow int32.
+
+    ``packed`` selects the two-queries-per-row kernel ("auto": whenever
+    the beam half is 64 lanes, i.e. ef <= 64 and W <= 64; "never"/"always"
+    to pin for A/B runs). Results are identical either way."""
     cap = table.cap
     B = queries.shape[0]
     if B % block_q != 0:
@@ -430,6 +657,14 @@ def fused_beam_search(
     max_d = key_clamp(id_bits, max_d)
     key_inf = (max_d + 1) << id_bits
     qt = query_tiles(queries, W)  # [B, words//REP, 128]
+    use_packed = (half == 64 and block_q % 2 == 0 and dma_mode == "loop"
+                  if packed == "auto" else packed == "always")
+    if use_packed:
+        return _fused_packed(
+            table, qt, init_keys, ef=ef, W=W, words=words, id_bits=id_bits,
+            key_inf=key_inf, max_steps=max_steps, block_q=block_q,
+            interpret=interpret,
+        )
     kernel, S = _make_kernel(
         ef=ef, half=half, W=W, words=words, id_bits=id_bits,
         key_inf=key_inf, max_steps=max_steps, bq=block_q, cap=cap,
@@ -480,3 +715,60 @@ def fused_beam_search(
         ),
     )(qt, init_keys.reshape(B, 1), table.ids, table.data)
     return keys, vis[:, 0], stp[:, 0]
+
+
+def _fused_packed(table, qt, init_keys, *, ef, W, words, id_bits, key_inf,
+                  max_steps, block_q, interpret):
+    """pallas_call plumbing for the two-queries-per-row kernel. Inputs and
+    outputs are reshaped XLA-side (free) so the kernel never relayouts:
+    query tiles [B, SD, 128] -> [B/2, 2*SD, 128] (row pair = subrow
+    concat), init keys [B] -> [B/2, 2], out keys [B/2, 128] -> [B, 64]."""
+    B = qt.shape[0]
+    SD = qt.shape[1]
+    bq2 = block_q // 2
+    kernel, S = _make_kernel_packed(
+        ef=ef, W=W, words=words, id_bits=id_bits, key_inf=key_inf,
+        max_steps=max_steps, bq=block_q, cap=table.cap,
+    )
+    qt2 = qt.reshape(B // 2, 2 * SD, LANES)
+    grid = (B // block_q,)
+    keys, vis, stp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B // 2, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (bq2, 2 * SD, LANES), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((bq2, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq2, LANES), jnp.int32),        # packed beam keys
+            pltpu.VMEM((bq2, LANES), jnp.int32),        # expanded flags
+            pltpu.VMEM((bq2, 2, LANES), jnp.int32),     # packed-id rows
+            pltpu.VMEM((bq2, 2 * S, LANES), jnp.uint32),  # fused data rows
+            pltpu.VMEM((bq2, 2), jnp.int32),            # expansion ids
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qt2, init_keys.reshape(B // 2, 2), table.ids, table.data)
+    return keys.reshape(B, 64), vis.reshape(B), stp.reshape(B)

@@ -71,10 +71,12 @@ def test_query_tiles_layout():
             assert (qt[:, s, l] == qs[:, s * REP + l // W]).all()
 
 
+@pytest.mark.parametrize("packed", ["never", "always"])
 @pytest.mark.parametrize("w,ef", [(16, 24), (32, 64), (64, 48)])
-def test_fused_matches_xla_packed(w, ef):
+def test_fused_matches_xla_packed(w, ef, packed):
     """Bit-exact equivalence with _beam_search_packed (dedup='beam',
-    expand=1): distances, ids, visited counts, and step counts."""
+    expand=1): distances, ids, visited counts, and step counts — for both
+    the single-query kernel and the two-queries-per-row variant."""
     cap, words, B = 512, 32, 64
     rng = np.random.default_rng(w * 1000 + ef)
     pts, adj = _random_graph(rng, cap, w, words)
@@ -97,7 +99,7 @@ def test_fused_matches_xla_packed(w, ef):
     keys, vis, stp = fused_beam_search(
         table, qs_j, (d0 << id_bits) | 0, ef=ef, W=fused_width(w),
         words=words, id_bits=id_bits, max_d=max_d, max_steps=256,
-        block_q=B, interpret=True,
+        block_q=B, interpret=True, packed=packed,
     )
     kinf = (max_d + 1) << id_bits
     keys = np.asarray(keys)
