@@ -70,8 +70,13 @@ def main():
     print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr, flush=True)
 
+    # batch_size sets both the lockstep window S and the chunk cap (16*S).
+    # 10M default 1024: chunk_schedule's n/8 growth keeps the young graph's
+    # staleness ratio identical, and 16k chunks quarter the per-dispatch
+    # overhead that dominates past 2M (BENCH_BATCH to override)
+    bs = int(os.environ.get("BENCH_BATCH", 1024 if N > 4_000_000 else 256))
     opts = IndexOptions(ef_construction=96, connections=24,
-                        max_connections=64, size=N, batch_size=256,
+                        max_connections=64, size=N, batch_size=bs,
                         host_warmup=min(50_000, N))
     t0 = time.perf_counter()
     b = HNSWBuilder(opts, metric="hamming")
