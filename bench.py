@@ -29,8 +29,14 @@ def main():
     N = int(os.environ.get("BENCH_N", 100_000))
     NQ = int(os.environ.get("BENCH_Q", 8_192))  # one full query batch
     K = 10
-    # ef=48 holds recall@10 ~0.985 on this data (>= 0.93 gate with margin)
-    EF = int(os.environ.get("BENCH_EF", 48))
+    # ef=32 with a hard step cap of 32 holds recall@10 ~0.993 on this data
+    # (>= 0.93 gate with 6 points of margin) at the best measured QPS
+    # (benches/exp_r3e.py sweep: 126.9k vs 102.9k at ef=48/cap=48); at
+    # BENCH_N > 200k the cap reverts to the auto 2*ef (a hard ef cap costs
+    # ~2.3 recall points at 1M, measured round 2)
+    EF = int(os.environ.get("BENCH_EF", 32))
+    CAP = os.environ.get("BENCH_CAP")
+    CAP = int(CAP) if CAP else (EF if N <= 200_000 else None)
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions
     from hnsw_itu_tpu.models.hnsw import HNSWBuilder
@@ -85,9 +91,7 @@ def main():
     # timed query runs (first run includes compile; take best of 2 after)
     index.query_batch = 8192
     index.query_entry_sample = 1024
-    # leave max_steps at the auto cap (2*ef): hard-capping at ef costs
-    # ~2.3 recall points at 1M (measured); the lockstep tail past 2*ef is
-    # negligible
+    index.max_steps = CAP  # None = auto (2*ef)
     index.enable_inline()
     import jax.numpy as jnp
 

@@ -1,0 +1,85 @@
+"""Headline-config sweep at 100k: (ef, max_steps cap) grid on ONE build.
+
+bench.py's gate is recall@10 >= 0.93 (the reference's own artifact level);
+defaults currently leave ~6 recall points of margin on the table. This
+measures the QPS/recall frontier so bench.py defaults sit at the knee.
+
+Usage: python benches/exp_r3e.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from hnsw_itu_tpu.utils.compile_cache import enable
+
+    enable()
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.models import Bruteforce, IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.utils import recall_at_k
+
+    N, NQ, K = 100_000, 8_192, 10
+    rng = np.random.default_rng(0)
+    C = max(16, N // 128)
+
+    def flip_mask(shape, p):
+        bits = rng.random((shape[0], 1024)) < p
+        return np.packbits(bits, axis=-1).view(np.uint32)
+
+    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+    pts = centers[rng.integers(0, C, size=N)] ^ flip_mask((N,), 0.08)
+    qs = centers[rng.integers(0, C, size=NQ)] ^ flip_mask((NQ,), 0.08)
+
+    np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+
+    opts = IndexOptions(ef_construction=96, connections=24,
+                        max_connections=64, size=N, batch_size=256,
+                        host_warmup=min(50_000, N))
+    t0 = time.perf_counter()
+    b = HNSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    index = b.build()
+    np.asarray(index.base.deg[:1])
+    print(f"# build {time.perf_counter()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt = np.asarray(bf.build().knns(qs, K).ids)
+
+    index.query_batch = 8192
+    index.query_entry_sample = 1024
+    index.enable_inline()
+    qs_dev = jnp.asarray(qs)
+
+    rows = []
+    for ef, cap in [(48, None), (48, 48), (48, 64), (32, None), (32, 32),
+                    (40, 40), (24, 48), (64, 64)]:
+        index.max_steps = cap
+        index.knns(qs_dev, K, ef)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = index.knns(qs_dev, K, ef)
+            np.asarray(res.ids[:1])
+            best = min(best, time.perf_counter() - t0)
+        rec = float(recall_at_k(np.asarray(res.ids), gt, K))
+        qps = NQ / best
+        rows.append({"ef": ef, "cap": cap, "qps": round(qps, 1),
+                     "recall": round(rec, 4)})
+        print(f"# ef={ef} cap={cap}: {qps:.0f} QPS recall {rec:.4f}",
+              file=sys.stderr, flush=True)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,20 @@ def main():
     index.query_batch = 8192
     index.query_entry_sample = 1024
     index.query_dedup = "beam"  # O(N) visited bitmasks don't fit at 10M
+
+    # graph-quality attribution: the EXACT (gather) path on the GT subset
+    # separates "graph misses the neighbor" from "estimate mis-ranks it"
+    exact_rec = None
+    if os.environ.get("BENCH_EXACT_ATTRIB", "1") == "1":
+        t0 = time.perf_counter()
+        res = index.knns(jnp.asarray(qs[:NGT]), K, 64)
+        np.asarray(res.ids[:1])
+        exact_s = time.perf_counter() - t0
+        exact_rec = float(recall_at_k(np.asarray(res.ids), gt_ids, K))
+        print(f"# exact-path attribution ef=64: recall {exact_rec:.4f}, "
+              f"{NGT/exact_s:.0f} QPS (incl compile)",
+              file=sys.stderr, flush=True)
+
     index.enable_inline()  # mini table (or fused when it fits)
     np.asarray(index.base.deg[:1])
     path = ("fused" if index.fused is not None else
@@ -129,7 +143,11 @@ def main():
 
     best_rec = None
     sweeps = []
-    for ef in (64, 96, 128):
+    # (ef, hop): hop > 0 adds the one-hop exact expansion rerank — the
+    # recall equalizer when the mini table carries few sketch bits
+    plan = [(64, 0), (96, 0), (64, 8), (96, 8), (128, 8)]
+    for ef, hop in plan:
+        index.query_hop = hop
         index.knns(qs_dev[:8192], K, ef)  # compile
         best = float("inf")
         for _ in range(2):
@@ -139,10 +157,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         qps = NQ / best
         recall = float(recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K))
-        print(f"# ef={ef}: {best:.3f}s for {NQ} queries, "
+        print(f"# ef={ef} hop={hop}: {best:.3f}s for {NQ} queries, "
               f"{qps:.0f} QPS, recall {recall:.4f}", file=sys.stderr,
               flush=True)
-        sweeps.append({"ef": ef, "qps": round(qps, 1),
+        sweeps.append({"ef": ef, "hop": hop, "qps": round(qps, 1),
                        "recall_at_10": round(recall, 4)})
         rec = {
             "metric": f"HNSW 10M-scale (k={K}, ef={ef}, n={N}, synthetic "
@@ -154,7 +172,8 @@ def main():
             "build_seconds": round(build_s, 1),
             "n_points": N,
             "n_queries": NQ,
-            "query_path": path,
+            "query_path": path + (f"+hop{hop}" if hop else ""),
+            "exact_path_recall_ef64": exact_rec,
             "ef_sweep": sweeps,
         }
         if best_rec is None or (recall >= 0.93

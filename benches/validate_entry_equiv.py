@@ -62,8 +62,8 @@ def main():
           file=sys.stderr, flush=True)
 
     bf = Bruteforce("hamming")
-    bf.fit(pts)
-    gt = np.asarray(bf.knns(qs, K).ids)
+    bf.extend(pts)
+    gt = np.asarray(bf.build().knns(qs, K).ids)
 
     index.query_batch = 8192
     index.enable_inline()  # fused kernel serves both entry modes

@@ -142,7 +142,7 @@ def _hnsw_query_step_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "n_levels",
-                     "entry_sample", "W", "mini_words", "block_q"),
+                     "entry_sample", "W", "mini_words", "block_q", "hop"),
 )
 def _hnsw_query_step_mini(
     points,
@@ -152,6 +152,7 @@ def _hnsw_query_step_mini(
     ep,
     level_adj_pts=None,
     n=None,
+    base_adj=None,
     *,
     k,
     ef,
@@ -162,6 +163,7 @@ def _hnsw_query_step_mini(
     W,
     mini_words,
     block_q,
+    hop=0,
 ):
     """HNSW search with the mini-table base kernel (the >fused-limit
     regime): descent (or sampled entry) in XLA, estimated-distance beam in
@@ -178,7 +180,7 @@ def _hnsw_query_step_mini(
         points, mini, qs, ep, n,
         k=k, ef=ef, metric_name=metric_name, max_steps=max_steps,
         entry_sample=0, W=W, mini_words=mini_words, block_q=block_q,
-        eps=eps,
+        eps=eps, adj=base_adj, hop=hop,
     )
 
 
@@ -250,6 +252,7 @@ class HNSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
+        self.query_hop = 0  # >0: one-hop exact rerank seeds (mini path)
         self.max_steps = None  # None = auto (2*ef, the measured safe cap)
         self.use_pallas = True  # fused base-layer kernel when eligible
         self.last_stats = None
@@ -369,6 +372,7 @@ class HNSW:
                     jnp.int32(self.ep),
                     self.level_adj_pts,
                     jnp.int32(self.n),
+                    self.base.adj,
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -378,6 +382,7 @@ class HNSW:
                     W=self.mini_W,
                     mini_words=self.mini_words,
                     block_q=block_q,
+                    hop=self.query_hop,
                 )
             elif use_fused:
                 from ..ops.pallas_search import fused_width

@@ -227,8 +227,11 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
     At EQUAL row bytes, estimate bits beat edge count (200k hardware
     shootout, benches/validate_miniw.py: W=32/mw=7 recall 0.9375 at ef=96
     vs W=64/mw=3 at 0.8460; W=32/mw=15 0.9422 at ef=64 vs W=64/mw=7
-    0.8027) — so the graph row is TRUNCATED to its first W edges (the
-    diversity-selected forward edges come first) to buy prefix words.
+    0.8027; and at 2M, W=64/mw=15 measured only 0.7056 at ef=64 —
+    480-bit estimates scramble ranking inside dense clusters) — so the
+    graph row is TRUNCATED to its first W edges (the diversity-selected
+    forward edges come first) to buy prefix words, all the way up to
+    mw=31 (W=32: 992 of 1024 bits, estimate error ~2 bits = near-exact).
     Policy: the highest mini_words that fits, widest W at equal mw; W
     floors at 32 (below that the truncation cuts into the m=24 forward
     edges and navigation degrades)."""
@@ -251,7 +254,7 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
     for W in (64, 32):
         if W > Wfull:
             continue
-        for mw in range(min(words, 15), 0, -1):
+        for mw in range(min(words, 31), 0, -1):
             if (1 + mw) % (LANES // W) != 0:
                 continue
             try:
@@ -267,17 +270,20 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
-                     "W", "mini_words", "block_q"),
+                     "W", "mini_words", "block_q", "hop"),
 )
 def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
                      max_steps, entry_sample, W, mini_words, block_q,
-                     eps=None):
+                     eps=None, adj=None, hop=0):
     """Mini-kernel query step: sampled entry + PREFIX entry distances in
     XLA, estimated-distance beam search in one Pallas kernel (one DMA per
     expansion from the inline mini table), then an exact full-sketch
     rerank of the whole final beam. The >1.3M-node regime where no exact
-    fused table fits HBM (docs/SCALE.md)."""
-    from ..ops.pallas_dma_search import IINF, mini_beam_search, rerank_exact
+    fused table fits HBM (docs/SCALE.md). ``hop`` > 0 adds the one-hop
+    expansion rerank (rerank_onehop) seeded by the ``hop`` exact-best
+    beam ids — the recall equalizer when mini_words is small."""
+    from ..ops.pallas_dma_search import (IINF, mini_beam_search,
+                                         rerank_exact, rerank_onehop)
 
     metric = get_metric(metric_name)
     if eps is None:
@@ -300,7 +306,10 @@ def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
         mini, qs[order], d0[order], eps[order], ef=max(ef, k), W=W,
         mini_words=mini_words, max_steps=max_steps, block_q=block_q,
     )
-    dk, ik = rerank_exact(points, qs[order], outi, k=k)
+    if hop > 0 and adj is not None:
+        dk, ik = rerank_onehop(points, adj, qs[order], outi, k=k, seeds=hop)
+    else:
+        dk, ik = rerank_exact(points, qs[order], outi, k=k)
     valid = ik < IINF
     d = jnp.where(valid, dk, metric.inf)[inv]
     i = jnp.where(valid, ik, ID_INF)[inv]
@@ -352,6 +361,7 @@ class NSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
+        self.query_hop = 0  # >0: one-hop exact rerank seeds (mini path)
         self.max_steps = None  # None = auto (2*ef, the measured safe cap)
         self.use_pallas = True  # fused kernel when eligible
         self.last_stats = None
@@ -457,6 +467,8 @@ class NSW:
                     W=self.mini_W,
                     mini_words=self.mini_words,
                     block_q=block_q,
+                    adj=self.graph.adj,
+                    hop=self.query_hop,
                 )
             elif use_fused:
                 from ..ops.pallas_search import fused_width

@@ -673,25 +673,62 @@ def mini_beam_search(
     return outd, outi, vis[:, 0], stp[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def rerank_exact(points, queries, cand_ids, *, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "dedup"))
+def rerank_exact(points, queries, cand_ids, *, k: int, dedup: bool = False):
     """Exact rerank of the mini search's candidates: gather full sketches,
     Hamming distance, two-key (d, id) sort, top-k. One [B, half] gather
     per query batch (amortized ~93ns/row) replaces exact distances inside
-    the search loop."""
+    the search loop. ``dedup`` drops repeated ids (keeps the first sorted
+    occurrence) before the final top-k — required when ``cand_ids`` may
+    contain duplicates (the one-hop expansion)."""
     B, H = cand_ids.shape
     cap = points.shape[0]
     valid = (cand_ids >= 0) & (cand_ids < cap)
     safe = jnp.clip(cand_ids, 0, cap - 1)
-    pts = points[safe]  # [B, H, words]
+    pts = points[safe].reshape(B, H, -1)  # [B, H, words]
     q = queries.reshape(B, 1, -1)
     d = jnp.sum(
         jax.lax.population_count(pts ^ q), axis=2
     ).astype(jnp.int32)
-    d = jnp.where(valid, d, jnp.int32(0x7FFF0000))
-    ids = jnp.where(valid, cand_ids, jnp.int32(0x7FFFFFFF))
+    d = jnp.where(valid, d, DINF)
+    ids = jnp.where(valid, cand_ids, IINF)
+    if dedup:
+        # sort by (id, d) so duplicates are adjacent with the best first
+        ids, d = jax.lax.sort((ids, d), num_keys=2)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=1
+        )
+        d = jnp.where(dup, DINF, d)
+        ids = jnp.where(dup, IINF, ids)
     d, ids = jax.lax.sort((d, ids), num_keys=2)
     return d[:, :k], ids[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "seeds"))
+def rerank_onehop(points, adj, queries, cand_ids, *, k: int, seeds: int):
+    """One-hop exact expansion rerank: exact-rank the search's candidate
+    beam, take the ``seeds`` best ids, union their FULL adjacency rows
+    with the beam, and exact-rank the union for the final top-k.
+
+    Rescues recall in the coarse-estimate regime (10M-scale mini tables
+    carry only ~224 sketch bits): the estimated-distance beam reliably
+    reaches the right neighborhood but mis-ranks near-equidistant
+    members; the seeds' graph rows re-cover the true neighbors the
+    estimate evicted. Cost: (beam + seeds*W) exact gathers per query
+    (~93ns/row) — e.g. 128 + 8*64 = 640 rows ~= 60us/query, on top of
+    the kernel. Parity note: the reference has no analogue (its search is
+    exact end-to-end, nsw.rs:133-184); this is the TPU-side recall
+    equalizer for inexact navigation."""
+    B, H = cand_ids.shape
+    cap = points.shape[0]
+    _, seed_ids = rerank_exact(points, queries, cand_ids, k=seeds)
+    rows = adj[jnp.clip(seed_ids, 0, cap - 1)]  # [B, seeds, W]
+    rows = jnp.where(
+        (seed_ids >= 0)[:, :, None] & (seed_ids < cap)[:, :, None],
+        rows, -1,
+    ).reshape(B, -1)
+    union = jnp.concatenate([cand_ids, rows], axis=1)
+    return rerank_exact(points, queries, union, k=k, dedup=True)
 
 
 @functools.partial(

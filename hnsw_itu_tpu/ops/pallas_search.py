@@ -313,7 +313,9 @@ def _make_kernel_packed(*, ef, W, words, id_bits, key_inf, max_steps, bq,
             done_a = (min_a >= KINF) | (min_a > worst_a)  # [bq2, 1]
             done_b = (min_b >= KINF) | (min_b > worst_b)
             minkey = jnp.where(isa, min_a, min_b)   # per-half broadcast
-            done_l = jnp.where(isa, done_a, done_b)
+            # bool-valued jnp.where lowers to an unsupported i8->i1 trunc
+            # on Mosaic; compose the per-lane done mask with and/or instead
+            done_l = (isa & done_a) | (jnp.logical_not(isa) & done_b)
             fb[:] = jnp.where(
                 (kb[:] == minkey) & jnp.logical_not(done_l), 1, fb[:]
             )

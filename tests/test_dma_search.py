@@ -91,7 +91,8 @@ def test_dma_matches_xla_two_key(w, ef):
     np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
 
 
-@pytest.mark.parametrize("w,ef,mw", [(64, 48, 3), (64, 96, 7), (32, 32, 3)])
+@pytest.mark.parametrize("w,ef,mw",
+                         [(64, 48, 3), (64, 96, 7), (32, 32, 3), (32, 48, 31)])
 def test_mini_matches_xla_on_prefix(w, ef, mw):
     """The minisketch kernel must equal the XLA beam path run on the
     TRUNCATED sketches (same prefix distances, ids, visited, steps)."""
@@ -164,6 +165,84 @@ def test_rerank_exact():
                 seen.add(p)
                 got_u.append(p)
         assert got_u[: len(want)] == want[: len(got_u)]
+
+
+def test_rerank_exact_dedup():
+    """dedup=True must return each id at most once, in exact (d, id)
+    order over the distinct-id candidate set."""
+    from hnsw_itu_tpu.ops.pallas_dma_search import rerank_exact
+
+    rng = np.random.default_rng(11)
+    cap, words, B, H, k = 100, 32, 6, 24, 8
+    pts = rng.integers(0, 2**32, size=(cap, words), dtype=np.uint32)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    cands = rng.integers(0, 40, size=(B, H)).astype(np.int32)  # many dups
+    cands[1, 5] = -1
+    d, ids = rerank_exact(
+        jnp.asarray(pts), jnp.asarray(qs), jnp.asarray(cands), k=k,
+        dedup=True,
+    )
+    d, ids = np.asarray(d), np.asarray(ids)
+    for b in range(B):
+        cs = sorted({int(c) for c in cands[b] if c >= 0})
+        want = sorted(
+            (bin(int.from_bytes((pts[c] ^ qs[b]).tobytes(), "little"))
+             .count("1"), c)
+            for c in cs
+        )[:k]
+        got = list(zip(d[b], ids[b]))[: len(want)]
+        assert got == want
+        assert len(set(ids[b][: len(want)])) == len(want)  # no dup ids
+
+
+def test_rerank_onehop_oracle():
+    """One-hop rerank == brute force over beam + seeds' adjacency union."""
+    from hnsw_itu_tpu.ops.pallas_dma_search import rerank_exact, rerank_onehop
+
+    rng = np.random.default_rng(13)
+    cap, words, w, B, H, k, seeds = 150, 32, 8, 5, 16, 6, 3
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    cands = rng.integers(0, cap, size=(B, H)).astype(np.int32)
+    d, ids = rerank_onehop(
+        jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs),
+        jnp.asarray(cands), k=k, seeds=seeds,
+    )
+    d, ids = np.asarray(d), np.asarray(ids)
+    _, seed_ids = rerank_exact(
+        jnp.asarray(pts), jnp.asarray(qs), jnp.asarray(cands), k=seeds
+    )
+    seed_ids = np.asarray(seed_ids)
+    for b in range(B):
+        pool = set(int(c) for c in cands[b])
+        for s in seed_ids[b]:
+            pool |= {int(e) for e in adj[s] if e >= 0}
+        want = sorted(
+            (bin(int.from_bytes((pts[c] ^ qs[b]).tobytes(), "little"))
+             .count("1"), c)
+            for c in sorted(pool)
+        )[:k]
+        assert list(zip(d[b], ids[b])) == want
+
+
+def test_mini_config_policy_prefers_bits():
+    """With budget for 4KB rows, the policy must pick W=32/mw=31
+    (992-bit near-exact estimates) over W=64/mw=15 (the config measured
+    at recall 0.7056 at 2M)."""
+    import os
+    from unittest import mock
+
+    from hnsw_itu_tpu.models.nsw import _mini_config_for
+    from hnsw_itu_tpu.ops.metrics import get_metric
+
+    pts = jnp.zeros((4096, 32), jnp.uint32)
+    adj = jnp.zeros((4096, 64), jnp.int32)
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+         mock.patch.dict(os.environ,
+                         {"HNSW_TPU_INLINE_QUERY_BYTES": str(4096 * 4096)}):
+        W, mw = _mini_config_for(pts, adj, get_metric("hamming"))
+    assert (W, mw) == (32, 31)
 
 
 def test_dma_matches_beyond_packed_key_range():
