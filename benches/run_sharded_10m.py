@@ -1,0 +1,181 @@
+"""The 10M flagship, sharded: 16 equal shards, EXACT fused kernel per shard.
+
+Reference headline (BASELINE.md): n=10,120,191 laion2B sketches — build
+575.21s on 16 CPU threads, 26.4k QPS at recall@10 0.93356 (ef=64).
+
+Single-chip physics cap the exact-distance paths at 10M (no inline table
+fits HBM; random 128B gathers run ~93ns/row — docs/SCALE.md). The
+production answer is index sharding over a TPU mesh
+(parallel/sharded.py: queries broadcast, per-shard search, all_gather
+top-k merge — validated by __graft_entry__.dryrun_multichip): each shard
+of 10.12M/16 = 632,512 points is BELOW the fused-kernel limits (packed
+int32 keys need n <= 2^20; table 8.7KB/node -> 5.5GB), so every shard
+searches with full-precision distances in VMEM.
+
+With ONE physical chip this script runs the 16 shards SEQUENTIALLY:
+build each shard, query ALL queries against it with the fused kernel,
+free it, and merge per-shard top-k exactly at the end — the same math
+the mesh runs in parallel. Reported:
+  * recall@10: TRUE global recall vs the host exact oracle on 10.12M
+  * per-shard QPS: measured on the real chip (distribution over shards)
+  * aggregate QPS: min per-shard QPS = the mesh throughput (each chip
+    serves every query; the all_gather merge of [B, k] keys is
+    microseconds on ICI), reported as `projected_16chip`
+  * sequential 1-chip QPS: NQ / total query wall-clock, reported as
+    `value` (the honest single-chip number for this script)
+
+Writes benches/results_sharded_10m.json.
+
+Usage: python benches/run_sharded_10m.py [n_shards] [N_total]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BASELINE_QPS = 26_400
+
+
+def main():
+    from hnsw_itu_tpu.utils.compile_cache import enable
+
+    enable()
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.models import IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.utils import recall_at_k
+
+    SH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 10_120_192
+    N = -(-N // SH) * SH  # equal shards -> one compiled program for all
+    PER = N // SH
+    NQ, K, NGT = 10_000, 10, 2048
+    EF = int(os.environ.get("BENCH_EF", 48))
+    rng = np.random.default_rng(0)
+    C = max(16, N // 128)
+
+    t_start = time.perf_counter()
+    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+
+    def make(n):
+        out = np.empty((n, 32), np.uint32)
+        for s in range(0, n, 1_000_000):
+            e = min(s + 1_000_000, n)
+            m = e - s
+            flips = np.packbits(
+                rng.random((m, 1024), dtype=np.float32) < 0.08, axis=-1
+            ).view(np.uint32)
+            out[s:e] = centers[rng.integers(0, C, size=m)] ^ flips
+        return out
+
+    pts = make(N)
+    qs = make(NQ)
+    print(f"# data generated at {time.perf_counter()-t_start:.0f}s",
+          file=sys.stderr, flush=True)
+
+    np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
+          file=sys.stderr, flush=True)
+
+    from hnsw_itu_tpu import native
+
+    t0 = time.perf_counter()
+    _, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
+    print(f"# ground truth ({NGT} queries, host): "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    qs_dev = jnp.asarray(qs)
+    opts = IndexOptions(ef_construction=96, connections=24,
+                        max_connections=64, size=PER, batch_size=256,
+                        host_warmup=min(20_000, PER))
+
+    # per-shard results, merged exactly at the end: distances are the
+    # global tie-break key, ids carry the shard offset back to global
+    all_d = np.full((NQ, SH * K), np.iinfo(np.int32).max, np.int64)
+    all_i = np.full((NQ, SH * K), -1, np.int64)
+    build_times, query_times = [], []
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_sharded_10m.json")
+
+    for s in range(SH):
+        lo = s * PER
+        shard_pts = pts[lo : lo + PER]
+        t0 = time.perf_counter()
+        b = HNSWBuilder(opts, metric="hamming")
+        b.extend_batched(shard_pts)
+        index = b.build()
+        np.asarray(index.base.deg[:1])  # drain
+        bt = time.perf_counter() - t0
+        build_times.append(bt)
+
+        index.query_batch = 8192
+        index.query_entry_sample = 1024
+        index.max_steps = EF
+        index.enable_inline()
+        path = "fused" if index.fused is not None else (
+            f"mini(mw={index.mini_words})" if index.mini is not None
+            else "xla")
+        index.knns(qs_dev[:8192], K, EF)  # compile (cached after shard 0)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = index.knns(qs_dev, K, EF)
+            np.asarray(res.ids[:1])
+            best = min(best, time.perf_counter() - t0)
+        query_times.append(best)
+        d = np.asarray(res.dists).astype(np.int64)
+        i = np.asarray(res.ids).astype(np.int64)
+        ok = i >= 0
+        all_d[:, s * K : (s + 1) * K] = np.where(ok, d, np.iinfo(np.int32).max)
+        all_i[:, s * K : (s + 1) * K] = np.where(ok, i + lo, -1)
+        print(f"# shard {s}: build {bt:.1f}s, query {best:.3f}s "
+              f"({NQ/best:.0f} QPS), path={path}",
+              file=sys.stderr, flush=True)
+        del index, b, res
+        with open(out_path, "w") as f:  # partial record survives a kill
+            json.dump({"status": f"shard {s+1}/{SH}",
+                       "build_times": [round(x, 1) for x in build_times]},
+                      f)
+
+    # exact merge: per-query sort of SH*K (distance, id) pairs
+    order = np.lexsort((all_i, all_d), axis=1)[:, :K]
+    merged = np.take_along_axis(all_i, order, axis=1)
+    recall = float(recall_at_k(merged[:NGT], gt_ids, K))
+
+    shard_qps = [NQ / t for t in query_times]
+    seq_qps = NQ / sum(query_times)
+    agg_qps = min(shard_qps)
+    build_total = sum(build_times)
+    rec = {
+        "metric": f"HNSW 10M sharded (k={K}, ef={EF}, n={N}, {SH} shards "
+                  f"x {PER}, exact fused kernel per shard, synthetic "
+                  "1024-bit sketches)",
+        "value": round(seq_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(seq_qps / BASELINE_QPS, 3),
+        "recall_at_10": round(recall, 4),
+        "build_seconds": round(build_total, 1),
+        "build_seconds_parallel_projection": round(max(build_times), 1),
+        "n_points": N,
+        "n_queries": NQ,
+        "n_shards": SH,
+        "projected_16chip_qps": round(agg_qps, 1),
+        "projected_16chip_vs_baseline": round(agg_qps / BASELINE_QPS, 3),
+        "shard_qps_min_med_max": [round(min(shard_qps), 1),
+                                  round(sorted(shard_qps)[SH // 2], 1),
+                                  round(max(shard_qps), 1)],
+        "query_path": "fused-per-shard + exact host merge",
+    }
+    print(json.dumps(rec))
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -288,11 +288,15 @@ class ShardedNSW:
         for c in _build.chunk_schedule(
             1, max(0, cap_s - 1), max_chunk=opts.batch_size
         ):
-            chunk = stacked[:, pos : pos + c]
+            # slice the chunk from the DEVICE-resident shard points (axis 0
+            # sharding is preserved; axis 1 is unsharded) — a host-side
+            # chunk would pay one tunnel upload per step on the remote
+            # backend, the exact overhead the single-chip builder removed
+            chunk = points_s[:, pos : pos + c]
             valid = (pos + np.arange(c)[None, :]) < ns[:, None]
             points_s, adj_s, deg_s, n_s = sharded_build_step(
                 points_s, adj_s, deg_s, ep_s, n_s,
-                shard_leading(mesh, jnp.asarray(chunk)),
+                chunk,
                 shard_leading(mesh, jnp.asarray(valid)),
                 efc=opts.ef_construction, m=opts.connections,
                 metric_name=metric if isinstance(metric, str) else metric.name,
