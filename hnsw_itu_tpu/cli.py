@@ -143,8 +143,10 @@ def build_index(datafile, algorithm: str, opts: IndexOptions,
 
 
 def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
-                single_threaded: bool = False):
-    """query_index parity (main.rs:181-222)."""
+                single_threaded: bool = False, query_hop: int = 0):
+    """query_index parity (main.rs:181-222). ``query_hop`` > 0 enables the
+    one-hop exact expansion rerank on the mini-table path (large-N TPU
+    regime; no reference analogue — its search is exact end to end)."""
     if k > ef:
         log.error("k=%d is greater than ef=%d, this can have adverse effects", k, ef)
     log.info("Opening %s", queryfile)
@@ -198,6 +200,8 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
             # inline neighbor rows: one sequential HBM read per expansion
             # (W x points extra memory; large QPS win on TPU)
             index.enable_inline()
+        if query_hop and hasattr(index, "query_hop"):
+            index.query_hop = query_hop
         res = index.knns(qs, k, ef)
         ids = np.asarray(res.ids)
         dists = np.asarray(res.dists)
@@ -269,7 +273,7 @@ def cmd_query(a):
         log.info("Serializing index to %s", a.indexfile)
         save_index(a.indexfile, idx, attrs)
     dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
-                             a.single_threaded)
+                             a.single_threaded, query_hop=a.query_hop)
     write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
 
 
@@ -286,7 +290,7 @@ def cmd_query_index(a):
     idx, attrs = load_index(a.indexfile)
     log.info("Read index size=%d", idx.size())
     dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
-                             a.single_threaded)
+                             a.single_threaded, query_hop=a.query_hop)
     write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
 
 
@@ -407,6 +411,8 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("-e", "--ef", type=int, default=96)
     common_build(q)
     q.add_argument("-s", "--sort", action="store_true")
+    q.add_argument("--query-hop", type=int, default=0,
+                   help="one-hop exact rerank seeds (mini-table path)")
     q.set_defaults(fn=cmd_query)
 
     ix = sub.add_parser("index", help="build and serialize an index")
@@ -425,6 +431,8 @@ def make_parser() -> argparse.ArgumentParser:
     qi.add_argument("-e", "--ef", type=int, default=96)
     qi.add_argument("-s", "--sort", action="store_true")
     qi.add_argument("-S", "--single-threaded", action="store_true")
+    qi.add_argument("--query-hop", type=int, default=0,
+                    help="one-hop exact rerank seeds (mini-table path)")
     qi.set_defaults(fn=cmd_query_index)
 
     gt = sub.add_parser("ground-truth", help="exact k-NN via brute force")
