@@ -164,6 +164,43 @@ def _bitonic_merge2(d, i, f):
     return d, i, f
 
 
+def _bitonic_sort2_span(d, i, *, descending: bool, span: int):
+    """Two-plane lex sort where each contiguous ``span``-lane group sorts
+    INDEPENDENTLY (exchanges at j < span never cross a group boundary) —
+    the two-queries-per-row packing."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    elem = lane & (span - 1)
+    k = 2
+    while k <= span:
+        asc = (elem & k) == 0
+        if descending:
+            asc = jnp.logical_not(asc)
+        j = k // 2
+        while j >= 1:
+            d, i, _ = _cmpx2(d, i, None, j, asc)
+            j //= 2
+        k *= 2
+    return d, i
+
+
+def _merge2_packed(bd, bi, fb, cd, ci, span):
+    """Two-queries-per-row ascending merge on lex (d, id) keys: per
+    ``span``-lane group, (beam group asc ++ candidate group desc) is a
+    bitonic 2*span sequence, so the distance-``span`` merge step is a
+    cross-PLANE elementwise swap and every later step stays in the beam
+    plane within one group. Returns the merged beam planes."""
+    swap = (cd < bd) | ((cd == bd) & (ci < bi))
+    bd, cd = jnp.where(swap, cd, bd), jnp.where(swap, bd, cd)
+    bi, ci = jnp.where(swap, ci, bi), jnp.where(swap, bi, ci)
+    fb = jnp.where(swap, 0, fb)  # candidates arrive unexpanded
+    asc = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1) >= 0
+    j = span // 2
+    while j >= 1:
+        bd, bi, fb = _cmpx2(bd, bi, fb, j, asc)
+        j //= 2
+    return bd, bi, fb
+
+
 def _bitonic_sort1(k, *, descending: bool):
     """Single-plane bitonic sort (for fresh-candidate compaction)."""
     L = k.shape[-1]
@@ -593,10 +630,187 @@ def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
     return kernel, S
 
 
+def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
+    """Two-queries-per-row mini kernel (beam half == 64 only): queries
+    2i/2i+1 share one 128-lane row — a in lanes 0-63, b in 64-127 — so
+    the two-plane bitonic networks and the dedup rotation run at
+    full-vreg occupancy (the unpacked kernel's 64-lane networks waste
+    half of every vector op). Semantics are IDENTICAL to
+    _make_mini_kernel: same (d, id) lex order, termination, visited and
+    step accounting."""
+    SPAN = 64
+    bq2 = bq // 2
+    S = mini_subrows(W, mini_words)
+
+    def kernel(qt_ref, initd_ref, initi_ref, mini_hbm,
+               outd_ref, outi_ref, vis_ref, stp_ref,
+               bd, bi, fb, rows, eref, sem):
+        bd[:] = jnp.full((bq2, LANES), DINF, jnp.int32)
+        bi[:] = jnp.full((bq2, LANES), IINF, jnp.int32)
+        bd[:, 0:1] = initd_ref[:, 0:1]
+        bd[:, SPAN : SPAN + 1] = initd_ref[:, 1:2]
+        bi[:, 0:1] = initi_ref[:, 0:1]
+        bi[:, SPAN : SPAN + 1] = initi_ref[:, 1:2]
+        fb[:] = jnp.zeros((bq2, LANES), jnp.int32)
+        vis_ref[:] = jnp.ones((bq2, 2), jnp.int32)
+        stp_ref[:] = jnp.zeros((bq2, 2), jnp.int32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq2, LANES), 1)
+        isa = lane < SPAN
+        elem = lane & (SPAN - 1)
+        at0 = elem == 0
+
+        def body(carry):
+            step, _ = carry
+            # ---- frontier per half: lex-min unexpanded (d, id) -------------
+            live = (fb[:] == 0) & (bd[:] < DINF)
+            md = jnp.where(live, bd[:], DINF)
+            md_a = jnp.min(jnp.where(isa, md, DINF), axis=1, keepdims=True)
+            md_b = jnp.min(jnp.where(isa, DINF, md), axis=1, keepdims=True)
+            mi_a = jnp.min(
+                jnp.where(isa & live & (bd[:] == md_a), bi[:], IINF),
+                axis=1, keepdims=True,
+            )
+            mi_b = jnp.min(
+                jnp.where(jnp.logical_not(isa) & live & (bd[:] == md_b),
+                          bi[:], IINF),
+                axis=1, keepdims=True,
+            )
+            wd_a = bd[:, ef - 1 : ef]
+            wi_a = bi[:, ef - 1 : ef]
+            wd_b = bd[:, SPAN + ef - 1 : SPAN + ef]
+            wi_b = bi[:, SPAN + ef - 1 : SPAN + ef]
+            done_a = ((md_a >= DINF) | (md_a > wd_a)
+                      | ((md_a == wd_a) & (mi_a > wi_a)))
+            done_b = ((md_b >= DINF) | (md_b > wd_b)
+                      | ((md_b == wd_b) & (mi_b > wi_b)))
+            done_l = (isa & done_a) | (jnp.logical_not(isa) & done_b)
+            md_l = jnp.where(isa, md_a, md_b)
+            mi_l = jnp.where(isa, mi_a, mi_b)
+            fb[:] = jnp.where(
+                (bd[:] == md_l) & (bi[:] == mi_l)
+                & jnp.logical_not(done_l),
+                1, fb[:],
+            )
+            eref[:, 0:1] = jnp.where(
+                done_a, 0, jnp.minimum(jnp.maximum(mi_a, 0), cap - 1)
+            )
+            eref[:, 1:2] = jnp.where(
+                done_b, 0, jnp.minimum(jnp.maximum(mi_b, 0), cap - 1)
+            )
+            stp_ref[:, 0:1] = stp_ref[:, 0:1] + jnp.where(done_a, 0, 1)
+            stp_ref[:, 1:2] = stp_ref[:, 1:2] + jnp.where(done_b, 0, 1)
+
+            # ---- two mini-row DMAs per packed row --------------------------
+            def issue(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i, pl.ds(0, S)], sem
+                ).start()
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 1]], rows.at[i, pl.ds(S, S)], sem
+                ).start()
+                return c
+
+            jax.lax.fori_loop(0, bq2, issue, 0, unroll=bq2)
+
+            def wait(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i, pl.ds(0, S)], sem
+                ).wait()
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 1]], rows.at[i, pl.ds(S, S)], sem
+                ).wait()
+                return c
+
+            jax.lax.fori_loop(0, bq2, wait, 0, unroll=bq2)
+
+            # ---- estimated distances per half ------------------------------
+            pc = jax.lax.population_count(
+                jnp.bitwise_xor(rows[:], qt_ref[:])
+            ).astype(jnp.int32)  # [bq2, 2S, 128]
+            sub = jax.lax.broadcasted_iota(jnp.int32, (bq2, 2 * S, LANES), 1)
+            ln3 = jax.lax.broadcasted_iota(jnp.int32, (bq2, 2 * S, LANES), 2)
+            is_id = ((sub == 0) | (sub == S)) & (ln3 < W)
+            pc = jnp.where(is_id, 0, pc)
+
+            def fold(acc):
+                w = LANES
+                while w > W:
+                    w //= 2
+                    acc = acc[:, :w] + acc[:, w:]
+                if W < SPAN:
+                    acc = jnp.concatenate(
+                        [acc, jnp.full((bq2, SPAN - W), DINF, jnp.int32)],
+                        axis=1,
+                    )
+                return acc  # [bq2, 64]
+
+            cd_a = fold(jnp.sum(pc[:, :S, :], axis=1))
+            cd_b = fold(jnp.sum(pc[:, S:, :], axis=1))
+            cd = jnp.concatenate([cd_a, cd_b], axis=1)  # [bq2, 128]
+
+            # ---- candidate ids per half ------------------------------------
+            na = rows[:, 0, :].astype(jnp.int32)
+            nb = rows[:, S, :].astype(jnp.int32)
+            nbr = jnp.concatenate([na[:, :SPAN], nb[:, :SPAN]], axis=1)
+            nbr = jnp.where(elem < W, nbr, -1)
+            valid = (nbr >= 0) & jnp.logical_not(done_l)
+
+            # ---- dedup vs own beam: within-span rotation -------------------
+            def dd(it, c):
+                dup, bc = c
+                dup = dup | (nbr == bc).astype(jnp.int32)
+                bc = jnp.where(
+                    at0,
+                    pltpu.roll(bc, SPAN + 1, axis=1),
+                    pltpu.roll(bc, 1, axis=1),
+                )
+                return dup, bc
+
+            dup, _ = jax.lax.fori_loop(
+                0, SPAN, dd, (jnp.zeros((bq2, LANES), jnp.int32), bi[:])
+            )
+            fresh = valid & (dup == 0)
+            fr = fresh.astype(jnp.int32)
+            vis_ref[:, 0:1] = vis_ref[:, 0:1] + jnp.sum(
+                jnp.where(isa, fr, 0), axis=1, keepdims=True
+            )
+            vis_ref[:, 1:2] = vis_ref[:, 1:2] + jnp.sum(
+                jnp.where(isa, 0, fr), axis=1, keepdims=True
+            )
+            cdm = jnp.where(fresh, cd, DINF)
+            cim = jnp.where(fresh, nbr, IINF)
+
+            # ---- merge: per-span desc sort, cross-plane packed merge -------
+            sd, si = _bitonic_sort2_span(cdm, cim, descending=True, span=SPAN)
+            nd, ni, nf = _merge2_packed(bd[:], bi[:], fb[:], sd, si, SPAN)
+            if ef < SPAN:
+                evict = elem >= ef
+                nd = jnp.where(evict, DINF, nd)
+                ni = jnp.where(evict, IINF, ni)
+                nf = jnp.where(evict, 0, nf)
+            bd[:] = nd
+            bi[:] = ni
+            fb[:] = nf
+
+            alive = jnp.logical_not(jnp.all(done_l))
+            return step + 1, alive
+
+        def cond(carry):
+            step, alive = carry
+            return alive & (step < max_steps)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        outd_ref[:] = bd[:]
+        outi_ref[:] = bi[:]
+
+    return kernel, S
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "W", "mini_words", "max_steps", "block_q",
-                     "interpret"),
+                     "interpret", "packed"),
 )
 def mini_beam_search(
     mini,
@@ -610,12 +824,17 @@ def mini_beam_search(
     max_steps: int = 256,
     block_q: int = 256,
     interpret: bool = False,
+    packed: str = "auto",
 ):
     """Beam search on ESTIMATED (prefix minisketch) distances: one DMA per
     expansion from the inline mini table. ``init_d`` must be the PREFIX
     distance of the entry point (same mini_words). Returns prefix
     distances — rerank the ids with full sketches (``rerank_exact``) for
-    final results."""
+    final results.
+
+    ``packed`` selects the two-queries-per-row kernel ("auto": whenever
+    the beam half is 64 lanes, i.e. ef <= 64 and W <= 64; "never"/
+    "always" to pin for A/B runs). Results are identical either way."""
     B = queries.shape[0]
     if B % block_q != 0:
         raise ValueError(f"B={B} not a multiple of block_q={block_q}")
@@ -624,6 +843,13 @@ def mini_beam_search(
         raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
     cap = mini.shape[0]
     qt = mini_query_tiles(queries, W, mini_words)
+    use_packed = (half == 64 and block_q % 2 == 0
+                  if packed == "auto" else packed == "always")
+    if use_packed:
+        return _mini_packed(
+            mini, qt, init_d, init_i, ef=ef, W=W, mini_words=mini_words,
+            max_steps=max_steps, block_q=block_q, interpret=interpret,
+        )
     kernel, S = _make_mini_kernel(
         ef=ef, half=half, W=W, mini_words=mini_words, max_steps=max_steps,
         bq=block_q, cap=cap,
@@ -671,6 +897,64 @@ def mini_beam_search(
         ),
     )(qt, init_d.reshape(B, 1), init_i.reshape(B, 1), mini)
     return outd, outi, vis[:, 0], stp[:, 0]
+
+
+def _mini_packed(mini, qt, init_d, init_i, *, ef, W, mini_words, max_steps,
+                 block_q, interpret):
+    """pallas_call plumbing for the two-queries-per-row mini kernel:
+    query tiles [B, S, 128] -> [B/2, 2S, 128] (row pair = subrow concat),
+    init planes [B] -> [B/2, 2], outputs [B/2, 128] -> [B, 64]."""
+    B = qt.shape[0]
+    bq2 = block_q // 2
+    kernel, S = _make_mini_kernel_packed(
+        ef=ef, W=W, mini_words=mini_words, max_steps=max_steps,
+        bq=block_q, cap=mini.shape[0],
+    )
+    qt2 = qt.reshape(B // 2, 2 * S, LANES)
+    grid = (B // block_q,)
+    outd, outi, vis, stp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B // 2, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B // 2, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((bq2, 2 * S, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((bq2, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq2, LANES), jnp.int32),          # beam est dists
+            pltpu.VMEM((bq2, LANES), jnp.int32),          # beam ids
+            pltpu.VMEM((bq2, LANES), jnp.int32),          # expanded flags
+            pltpu.VMEM((bq2, 2 * S, LANES), jnp.uint32),  # mini row pair
+            pltpu.VMEM((bq2, 2), jnp.int32),              # expansion ids
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qt2, init_d.reshape(B // 2, 2), init_i.reshape(B // 2, 2), mini)
+    return (outd.reshape(B, 64), outi.reshape(B, 64),
+            vis.reshape(B), stp.reshape(B))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dedup"))

@@ -91,14 +91,19 @@ def test_dma_matches_xla_two_key(w, ef):
     np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
 
 
+@pytest.mark.parametrize("packed", ["never", "always"])
 @pytest.mark.parametrize("w,ef,mw",
                          [(64, 48, 3), (64, 96, 7), (32, 32, 3), (32, 48, 31)])
-def test_mini_matches_xla_on_prefix(w, ef, mw):
+def test_mini_matches_xla_on_prefix(w, ef, mw, packed):
     """The minisketch kernel must equal the XLA beam path run on the
-    TRUNCATED sketches (same prefix distances, ids, visited, steps)."""
+    TRUNCATED sketches (same prefix distances, ids, visited, steps) —
+    in both the unpacked and two-queries-per-row variants."""
     from hnsw_itu_tpu.ops.pallas_dma_search import (
         materialize_mini, mini_beam_search, mini_subrows,
     )
+
+    if packed == "always" and max(64, ef, w) > 64:
+        pytest.skip("packed kernel requires beam half == 64")
 
     cap, words, B = 512, 32, 64
     rng = np.random.default_rng(w + ef + mw)
@@ -123,6 +128,7 @@ def test_mini_matches_xla_on_prefix(w, ef, mw):
     outd, outi, vis, stp = mini_beam_search(
         mini, qs_j, d0, jnp.zeros((B,), jnp.int32),
         ef=ef, W=w, mini_words=mw, max_steps=256, block_q=B, interpret=True,
+        packed=packed,
     )
     got_d = np.asarray(outd)[:, :ef]
     got_i = np.asarray(outi)[:, :ef]
