@@ -13,6 +13,9 @@ the comparison isolates exactly the entry policy. Writes a recall table
 to stdout and benches/results_entry_equiv.json.
 
 Usage: python benches/validate_entry_equiv.py [N] (default 150_000)
+       BENCH_CPU=1 pins the CPU backend (recall equivalence only — the
+       native host engine builds the full hierarchy, queries go through
+       the XLA path; throughput numbers are then meaningless).
 """
 
 import json
@@ -24,11 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+CPU = os.environ.get("BENCH_CPU") == "1"
+
 
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable
 
     enable()
+    import jax
+
+    if CPU:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions
@@ -36,7 +45,7 @@ def main():
     from hnsw_itu_tpu.utils import recall_at_k
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
-    NQ, K = 8_192, 10
+    NQ, K = (2_048 if CPU else 8_192), 10
     rng = np.random.default_rng(7)
     C = max(16, N // 128)
     centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
@@ -52,7 +61,7 @@ def main():
 
     opts = IndexOptions(ef_construction=96, connections=24,
                         max_connections=64, size=N, batch_size=256,
-                        host_warmup=min(50_000, N))
+                        host_warmup=N if CPU else min(50_000, N))
     t0 = time.perf_counter()
     b = HNSWBuilder(opts, metric="hamming")
     b.extend_batched(pts)
@@ -61,9 +70,14 @@ def main():
     print(f"# build {time.perf_counter()-t0:.1f}s levels={index.level_ns}",
           file=sys.stderr, flush=True)
 
-    bf = Bruteforce("hamming")
-    bf.extend(pts)
-    gt = np.asarray(bf.build().knns(qs, K).ids)
+    if CPU:
+        from hnsw_itu_tpu import native
+
+        _, gt = native.host_bruteforce(pts, "hamming", qs, K)
+    else:
+        bf = Bruteforce("hamming")
+        bf.extend(pts)
+        gt = np.asarray(bf.build().knns(qs, K).ids)
 
     index.query_batch = 8192
     index.enable_inline()  # fused kernel serves both entry modes

@@ -357,6 +357,12 @@ class ShardedHNSW(ShardedNSW):
     with sampled entries measure recall-equivalent to per-shard
     hierarchies at equal ef while keeping every shard's step identical
     (no ragged per-level state across devices).
+
+    Evidence (benches/validate_entry_equiv.py -> results_entry_equiv.json,
+    shard-sized n=100k, 2048 queries, SAME graph queried both ways):
+    recall@10 descent vs sampled = 0.9947/0.9952 (ef=32), 0.9969/0.9969
+    (ef=48), 0.9972/0.9971 (ef=64), 0.9978/0.9977 (ef=96) — the sampled
+    entry is within +-0.0005 of the hierarchy at every ef.
     """
 
     DEFAULT_ENTRY_SAMPLE = 1024
