@@ -134,6 +134,7 @@ def main():
         ok = i >= 0
         all_d[:, s * K : (s + 1) * K] = np.where(ok, d, np.iinfo(np.int32).max)
         all_i[:, s * K : (s + 1) * K] = np.where(ok, i + lo, -1)
+        paths = path
         print(f"# shard {s}: build {bt:.1f}s, query {best:.3f}s "
               f"({NQ/best:.0f} QPS), path={path}",
               file=sys.stderr, flush=True)
@@ -154,7 +155,7 @@ def main():
     build_total = sum(build_times)
     rec = {
         "metric": f"HNSW 10M sharded (k={K}, ef={EF}, n={N}, {SH} shards "
-                  f"x {PER}, exact fused kernel per shard, synthetic "
+                  f"x {PER}, {paths} per shard, synthetic "
                   "1024-bit sketches)",
         "value": round(seq_qps, 1),
         "unit": "qps",
@@ -170,7 +171,7 @@ def main():
         "shard_qps_min_med_max": [round(min(shard_qps), 1),
                                   round(sorted(shard_qps)[SH // 2], 1),
                                   round(max(shard_qps), 1)],
-        "query_path": "fused-per-shard + exact host merge",
+        "query_path": f"{paths}-per-shard + exact host merge",
     }
     print(json.dumps(rec))
     with open(out_path, "w") as f:
