@@ -451,35 +451,48 @@ int64_t hnsw_host_bruteforce(const void* points, int32_t words,
                              int64_t nq, int32_t k, int32_t threads,
                              int32_t* out_ids, int32_t* out_dists) {
   if (threads <= 0) threads = std::thread::hardware_concurrency();
+  // Blocked scan: a worker claims a BLOCK of queries and streams the
+  // whole point array once for it. The query-outer loop read the points
+  // nq times (2.6 TB at 10M x 2048 — memory-bound for minutes); a 64-query
+  // block (8 KB, L1-resident) makes the scan compute-bound.
+  constexpr int64_t QB = 64;
   std::atomic<int64_t> next(0);
   auto run = [&](auto dist) {
     using QT = std::remove_const_t<std::remove_pointer_t<decltype(dist.point(0))>>;
     auto worker = [&]() {
-      std::vector<DistId> heap;
+      std::vector<std::vector<DistId>> heaps(QB);
       for (;;) {
-        int64_t i = next.fetch_add(1);
-        if (i >= nq) break;
-        const QT* q = (const QT*)queries + i * words;
-        heap.clear();
+        int64_t q0 = next.fetch_add(1) * QB;
+        if (q0 >= nq) break;
+        int64_t qn = std::min<int64_t>(QB, nq - q0);
+        for (auto& h : heaps) h.clear();
         for (int64_t v = 0; v < n; ++v) {
-          int32_t dv = dist(v, q);
-          if ((int)heap.size() < k) {
-            heap.push_back({dv, (int32_t)v});
-            std::push_heap(heap.begin(), heap.end());
-          } else if (DistId{dv, (int32_t)v} < heap.front()) {
-            std::pop_heap(heap.begin(), heap.end());
-            heap.back() = {dv, (int32_t)v};
-            std::push_heap(heap.begin(), heap.end());
+          for (int64_t j = 0; j < qn; ++j) {
+            const QT* q = (const QT*)queries + (q0 + j) * words;
+            int32_t dv = dist(v, q);
+            auto& heap = heaps[j];
+            if ((int)heap.size() < k) {
+              heap.push_back({dv, (int32_t)v});
+              std::push_heap(heap.begin(), heap.end());
+            } else if (DistId{dv, (int32_t)v} < heap.front()) {
+              std::pop_heap(heap.begin(), heap.end());
+              heap.back() = {dv, (int32_t)v};
+              std::push_heap(heap.begin(), heap.end());
+            }
           }
         }
-        std::sort_heap(heap.begin(), heap.end());
-        for (int j = 0; j < k; ++j) {
-          if (j < (int)heap.size()) {
-            out_dists[i * k + j] = heap[j].first;
-            out_ids[i * k + j] = heap[j].second;
-          } else {
-            out_dists[i * k + j] = INT32_MAX;
-            out_ids[i * k + j] = INT32_MAX;
+        for (int64_t j = 0; j < qn; ++j) {
+          auto& heap = heaps[j];
+          std::sort_heap(heap.begin(), heap.end());
+          int64_t i = q0 + j;
+          for (int t = 0; t < k; ++t) {
+            if (t < (int)heap.size()) {
+              out_dists[i * k + t] = heap[t].first;
+              out_ids[i * k + t] = heap[t].second;
+            } else {
+              out_dists[i * k + t] = INT32_MAX;
+              out_ids[i * k + t] = INT32_MAX;
+            }
           }
         }
       }
