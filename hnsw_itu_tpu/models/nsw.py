@@ -241,7 +241,11 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
 
     if metric.name != "hamming" or points is None:
         return 0, 0
-    if jax.default_backend() not in ("tpu", "axon"):
+    if (jax.default_backend() not in ("tpu", "axon")
+            and os.environ.get("HNSW_TPU_MINI_INTERPRET") != "1"):
+        # HNSW_TPU_MINI_INTERPRET=1 runs the mini kernels in Pallas
+        # interpret mode on any backend (test/CI coverage of the full
+        # mini query path; far too slow for real workloads)
         return 0, 0
     words = int(np.prod(points.shape[1:]))
     cap = adj.shape[0]
@@ -305,6 +309,7 @@ def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
     outd, outi, vis, stp = mini_beam_search(
         mini, qs[order], d0[order], eps[order], ef=max(ef, k), W=W,
         mini_words=mini_words, max_steps=max_steps, block_q=block_q,
+        interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
     )
     if hop > 0 and adj is not None:
         dk, ik = rerank_onehop(points, adj, qs[order], outi, k=k, seeds=hop)
