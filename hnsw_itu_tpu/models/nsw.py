@@ -140,8 +140,11 @@ def _fused_query_eligible(points, adj, metric) -> bool:
 
     if metric.name != "hamming" or points is None:
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False  # Mosaic kernel needs real TPU hardware
+    if (jax.default_backend() not in ("tpu", "axon")
+            and os.environ.get("HNSW_TPU_MINI_INTERPRET") != "1"):
+        return False  # Mosaic kernel needs real TPU hardware (the env var
+        # runs kernels in interpret mode for CI coverage — see
+        # _mini_config_for)
     words = int(np.prod(points.shape[1:]))
     cap = adj.shape[0]
     try:
@@ -206,6 +209,7 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     keys, vis, stp = fused_beam_search(
         fused, qs, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
         max_d=max_d, max_steps=max_steps, block_q=block_q,
+        interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
     )
     if sort_q:
         keys, vis, stp = keys[inv], vis[inv], stp[inv]

@@ -104,6 +104,72 @@ def _sharded_query_step(
     )(points_s, adj_s, ep_s, off_s, n_s, qs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "max_steps", "mesh",
+                     "entry_sample", "W", "words", "block_q", "interpret"),
+)
+def _sharded_query_step_fused(
+    points_s, data_s, ids_s, off_s, n_s, qs, *, k, ef, metric_name,
+    max_steps, mesh, entry_sample, W, words, block_q, interpret
+):
+    """Index-sharded query with the FUSED Pallas kernel per shard: each
+    device runs the whole beam loop in VMEM against its shard's fused
+    table (the same kernel the single-chip flagship path uses), then the
+    per-shard top-k merge rides one all_gather over ICI. This is the
+    production mesh path — every shard sits below the fused limits by
+    construction (that is the point of sharding; docs/SCALE.md)."""
+    from ..models.nsw import ID_INF
+    from ..ops.entry import sampled_entry
+    from ..ops.pallas_search import FusedTable, fused_beam_search, key_clamp
+
+    metric = get_metric(metric_name)
+
+    def step(points_b, data_b, ids_b, off_b, n_b, q):
+        points = points_b[0]
+        table = FusedTable(data_b[0], ids_b[0])
+        cap = table.cap
+        id_bits = max(1, (cap - 1).bit_length())
+        max_d = key_clamp(id_bits, words * 32)
+        eps = sampled_entry(points, q, jnp.maximum(n_b[0], 1),
+                            sample_size=entry_sample, metric=metric)
+        d0 = jax.vmap(lambda qq, p: metric.one_to_many(qq, p[None])[0])(
+            q, points[eps]
+        ).astype(jnp.int32)
+        # entry-distance sort per shard (each shard's own order), undone
+        # before the cross-shard merge
+        order = jnp.argsort(d0)
+        inv = jnp.argsort(order)
+        init = (jnp.minimum(d0[order], max_d) << id_bits) | eps[order]
+        keys, _, _ = fused_beam_search(
+            table, q[order], init, ef=max(ef, k), W=W, words=words,
+            id_bits=id_bits, max_d=max_d, max_steps=max_steps,
+            block_q=block_q, interpret=interpret,
+        )
+        keys = keys[inv]
+        kinf = (max_d + 1) << id_bits
+        valid = (keys < kinf) & (n_b[0] > 0)
+        d = jnp.where(valid, keys >> id_bits, metric.inf)[:, :k]
+        li = jnp.where(valid, keys & ((1 << id_bits) - 1), ID_INF)[:, :k]
+        gi = jnp.where(li != ID_INF, li + off_b[0], ID_INF)
+        d_all = jax.lax.all_gather(d, AXIS)   # [S, B, k]
+        i_all = jax.lax.all_gather(gi, AXIS)
+        S = d_all.shape[0]
+        B = d_all.shape[1]
+        dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
+        im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
+        dm, im = jax.lax.sort((dm, im), num_keys=2)
+        return dm[:, :k], im[:, :k]
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(points_s, data_s, ids_s, off_s, n_s, qs)
+
+
 # ---------------------------------------------------------------------------
 # index-sharded build step (the multi-chip "training step")
 # ---------------------------------------------------------------------------
@@ -248,6 +314,7 @@ class ShardedNSW:
         self.query_expand = 1
         self.query_entry_sample = 0  # >0: per-shard MXU sampled entry
         self.max_steps = 2048
+        self.fused_s = None  # per-shard fused tables (enable_inline)
 
     @classmethod
     def build(cls, points, opts: IndexOptions, metric="hamming",
@@ -317,7 +384,81 @@ class ShardedNSW:
     def size(self) -> int:
         return int(np.asarray(self.ns).sum())
 
+    def enable_inline(self) -> None:
+        """Materialize the fused Pallas table PER SHARD (leading shard
+        axis stays on the mesh): queries then run the whole beam loop in
+        each device's VMEM instead of the XLA gather path. Eligibility is
+        the single-chip gate applied to one shard's shapes — sharding
+        exists precisely to keep every shard below the fused limits."""
+        if self.fused_s is not None:
+            return
+        from ..models.nsw import _fused_query_eligible
+        from ..ops.pallas_search import materialize_fused
+
+        # shapes only — avoid materializing a shard on one device
+        pts_shard = jax.ShapeDtypeStruct(
+            self.points_s.shape[1:], self.points_s.dtype
+        )
+        adj_shard = jax.ShapeDtypeStruct(
+            self.adj_s.shape[1:], self.adj_s.dtype
+        )
+        if not _fused_query_eligible(pts_shard, adj_shard, self.metric):
+            return
+
+        def mk(points_b, adj_b):
+            t = materialize_fused(points_b[0], adj_b[0])
+            return t.data[None], t.ids[None]
+
+        data_s, ids_s = jax.jit(jax.shard_map(
+            mk,
+            mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_vma=False,
+        ))(self.points_s, self.adj_s)
+        self.fused_s = (data_s, ids_s)
+
     def knns(self, queries, k: int, ef: int) -> KnnResult:
+        import os
+
+        nq = np.asarray(queries).shape[0]
+        use_fused = (
+            self.fused_s is not None
+            and max(ef, k) <= 128
+            and self.query_expand == 1
+            and self.query_entry_sample > 0
+        )
+        if use_fused:
+            from ..models.nsw import _fused_batch
+            from ..ops.pallas_search import fused_width
+
+            bp, block_q = _fused_batch(nq)
+            q_np = np.asarray(queries)
+            if bp != nq:
+                q_np = np.concatenate(
+                    [q_np, np.repeat(q_np[:1], bp - nq, axis=0)]
+                )
+            qs = replicate(self.mesh, jnp.asarray(q_np))
+            d, i = _sharded_query_step_fused(
+                self.points_s,
+                self.fused_s[0],
+                self.fused_s[1],
+                self.offsets,
+                self.ns,
+                qs,
+                k=k,
+                ef=ef,
+                metric_name=self.metric.name,
+                max_steps=self.max_steps if self.max_steps != 2048
+                else max(2 * ef, 64),
+                mesh=self.mesh,
+                entry_sample=self.query_entry_sample,
+                W=fused_width(int(self.adj_s.shape[-1])),
+                words=int(np.prod(self.points_s.shape[2:])),
+                block_q=block_q,
+                interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
+            )
+            return KnnResult(d[:nq], i[:nq])
         qs = replicate(self.mesh, jnp.asarray(np.asarray(queries)))
         d, i = _sharded_query_step(
             self.points_s,

@@ -15,6 +15,12 @@ from hnsw_itu_tpu.models.nsw import NSWBuilder
 @pytest.fixture()
 def mini_env(monkeypatch):
     monkeypatch.setenv("HNSW_TPU_MINI_INTERPRET", "1")
+    # the interpret escape also makes the FUSED path eligible on CPU; this
+    # file covers the mini path, so force the policy past it
+    from hnsw_itu_tpu.models import nsw
+
+    monkeypatch.setattr(nsw, "_fused_query_eligible",
+                        lambda *a, **kw: False)
 
 
 def _clustered(rng, n, centers):
@@ -68,3 +74,34 @@ def test_mini_query_path_end_to_end(mini_env):
     # results are sorted ascending by (distance, id) per row
     d0 = np.asarray(res.dists)
     assert (np.diff(d0, axis=1) >= 0).all()
+
+
+def test_fused_query_path_end_to_end(monkeypatch):
+    """Same glue coverage for the FUSED path (NSW.knns ->
+    _query_step_fused -> packed kernel -> key decode) via interpret."""
+    monkeypatch.setenv("HNSW_TPU_MINI_INTERPRET", "1")
+    rng = np.random.default_rng(5)
+    n, nq, k = 1200, 64, 10
+    centers = rng.integers(0, 2**32, size=(20, 32), dtype=np.uint32)
+    pts = _clustered(rng, n, centers)
+    qs = _clustered(rng, nq, centers)
+    opts = IndexOptions(ef_construction=48, connections=12,
+                        max_connections=32, size=n, batch_size=128,
+                        host_warmup=0)
+    b = NSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    index = b.build()
+    index.enable_inline()
+    assert index.fused is not None, "fused table expected under interpret"
+
+    gt = []
+    for q in qs:
+        d = np.unpackbits((pts ^ q).view(np.uint8), axis=1).sum(1)
+        gt.append(np.lexsort((np.arange(n), d))[:k])
+
+    index.query_batch = 256
+    index.query_entry_sample = 64
+    res = index.knns(qs, k, 48)
+    r0 = _recall(np.asarray(res.ids), gt, k)
+    assert r0 >= 0.95, r0
+    assert (np.diff(np.asarray(res.dists), axis=1) >= 0).all()

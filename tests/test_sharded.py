@@ -131,6 +131,49 @@ def test_sharded_hnsw_recall(mesh):
     assert hits / (nq * k) >= 0.8
 
 
+def test_sharded_fused_query_path(mesh, monkeypatch):
+    """enable_inline materializes per-shard fused tables and knns routes
+    through the fused kernel under shard_map (interpret mode on CPU);
+    results must stay correct vs the exact oracle and the XLA path."""
+    monkeypatch.setenv("HNSW_TPU_MINI_INTERPRET", "1")
+    from hnsw_itu_tpu.parallel import ShardedHNSW
+
+    rng = np.random.default_rng(21)
+    n, nq, k = 1600, 24, 10
+    centers = rng.integers(0, 2**32, size=(16, 32), dtype=np.uint32)
+    pts = centers[rng.integers(0, 16, size=n)] ^ np.packbits(
+        rng.random((n, 1024)) < 0.05, axis=-1).view(np.uint32)
+    qs = pts[:nq] ^ np.uint32(3)
+
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt = bf.build().knns(qs, k)
+
+    opts = IndexOptions(host_warmup=0, ef_construction=48, connections=12,
+                        max_connections=24, size=n, batch_size=64,
+                        entry_sample=0)
+    idx = ShardedHNSW.build(pts, opts, metric="hamming", mesh=mesh)
+    idx.enable_inline()
+    assert idx.fused_s is not None, "per-shard fused tables expected"
+
+    r = idx.knns(qs, k, ef=48)
+    ids = np.asarray(r.ids)
+    d = np.asarray(r.dists)
+    assert ids.shape == (nq, k)
+    assert (np.diff(d, axis=1) >= 0).all()  # merged ascending
+    assert (ids[:, 0] == np.arange(nq)).all()  # true NN is the source point
+    hits = sum(
+        len(set(ids[i].tolist()) & set(np.asarray(gt.ids[i]).tolist()))
+        for i in range(nq)
+    )
+    assert hits / (nq * k) >= 0.8
+
+    # the XLA path on the same sharded index agrees on the top hit
+    idx.fused_s = None
+    r2 = idx.knns(qs, k, ef=48)
+    assert (np.asarray(r2.ids)[:, 0] == ids[:, 0]).all()
+
+
 def test_query_sharded_matches_single(mesh):
     rng = np.random.default_rng(9)
     n, nq = 500, 16
