@@ -221,8 +221,26 @@ class Bruteforce:
         # remote compiler (a [8192, 8192] block compiles for >25 min);
         # the packed min-extraction path runs a warm 1024x1M batch in 0.1s
         del ef  # ignored, like the reference (bruteforce.rs:38)
-        pts = self._materialize()
         qs = np.asarray(queries)
+        # past the bf16 bit-table budget the device falls back to a
+        # per-tile unpack scan (~0.8s/tile relayout — hours at 10M); the
+        # blocked native host scan is exact and compute-bound there
+        # (one point pass per 64-query block; ~3.5 min for 10M x 2048)
+        from .. import native
+
+        if (
+            self.metric.name in native.METRIC_CODE
+            and self._n > _BITS_TABLE_MAX
+            and native.available()
+        ):
+            if len(self._chunks) > 1:
+                self._chunks = [np.concatenate(self._chunks, axis=0)]
+            d, i = native.host_bruteforce(
+                np.ascontiguousarray(self._chunks[0][: self._n]),
+                self.metric.name, qs, k,
+            )
+            return KnnResult(jnp.asarray(d), jnp.asarray(i))
+        pts = self._materialize()
         nq = qs.shape[0]
         n_tiles = pts.shape[0] // self._tile_eff
         use_bits = (
