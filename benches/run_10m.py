@@ -99,8 +99,10 @@ def main():
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
+    # smoke-scale invocations must not clobber the recorded artifact
+    out_name = "results_10m.json" if N >= 1_000_000 else "results_smoke.json"
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_10m.json")
+                            out_name)
     with open(out_path, "w") as f:  # partial record survives a timeout
         json.dump({"n_points": N, "build_seconds": round(build_s, 1),
                    "levels": index.level_ns, "status": "built"}, f, indent=1)

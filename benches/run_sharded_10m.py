@@ -100,8 +100,10 @@ def main():
     all_d = np.full((NQ, SH * K), np.iinfo(np.int32).max, np.int64)
     all_i = np.full((NQ, SH * K), -1, np.int64)
     build_times, query_times = [], []
+    out_name = ("results_sharded_10m.json" if N >= 1_000_000
+                else "results_sharded_smoke.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_sharded_10m.json")
+                            out_name)
 
     for s in range(SH):
         lo = s * PER
