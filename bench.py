@@ -21,27 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _relay_alive() -> bool:
-    """The remote-TPU tunnel relay can die outright (all ports closed);
-    jax then HANGS forever at first device contact instead of erroring.
-    Probe before committing to the backend so a dead tunnel fails fast."""
-    import socket
-
-    try:
-        with socket.create_connection(("127.0.0.1", 8113), timeout=3):
-            return True
-    except OSError:
-        return False
-
-
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable as enable_compile_cache
+    from hnsw_itu_tpu.utils.tunnel import require_device
 
     enable_compile_cache()
-    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" and not _relay_alive():
-        print("ERROR: TPU tunnel relay (127.0.0.1:8113) is down — "
-              "refusing to hang at device init", file=sys.stderr)
-        sys.exit(2)
+    require_device()  # dead relay = infinite hang at first device contact
     t_start = time.perf_counter()
     N = int(os.environ.get("BENCH_N", 100_000))
     NQ = int(os.environ.get("BENCH_Q", 8_192))  # one full query batch

@@ -19,8 +19,10 @@ import numpy as np
 
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable
+    from hnsw_itu_tpu.utils.tunnel import require_device
 
     enable()
+    require_device()
     import jax.numpy as jnp
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions

@@ -30,8 +30,10 @@ import numpy as np
 
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable
+    from hnsw_itu_tpu.utils.tunnel import require_device
 
     enable()
+    require_device()  # dead relay = infinite hang at first device contact
     import jax
     import jax.numpy as jnp
 

@@ -43,8 +43,10 @@ BASELINE_QPS = 26_400
 
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable
+    from hnsw_itu_tpu.utils.tunnel import require_device
 
     enable()
+    require_device()  # dead relay = infinite hang at first device contact
     import jax.numpy as jnp
 
     from hnsw_itu_tpu.models import IndexOptions
@@ -133,7 +135,8 @@ def main():
         query_times.append(best)
         d = np.asarray(res.dists).astype(np.int64)
         i = np.asarray(res.ids).astype(np.int64)
-        ok = i >= 0
+        # invalid slots come back as ID_INF (int32 max), not negative
+        ok = (i >= 0) & (i < np.iinfo(np.int32).max)
         all_d[:, s * K : (s + 1) * K] = np.where(ok, d, np.iinfo(np.int32).max)
         all_i[:, s * K : (s + 1) * K] = np.where(ok, i + lo, -1)
         paths = path

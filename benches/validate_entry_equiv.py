@@ -38,6 +38,10 @@ def main():
 
     if CPU:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from hnsw_itu_tpu.utils.tunnel import require_device
+
+        require_device()
     import jax.numpy as jnp
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions

@@ -202,6 +202,13 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
             index.enable_inline()
         if query_hop and hasattr(index, "query_hop"):
             index.query_hop = query_hop
+            if getattr(index, "mini", None) is None:
+                log.warning(
+                    "--query-hop only applies to the mini-table path; this "
+                    "index serves queries via %s, so it is a no-op",
+                    "the fused kernel" if getattr(index, "fused", None)
+                    is not None else "the XLA path",
+                )
         res = index.knns(qs, k, ef)
         ids = np.asarray(res.ids)
         dists = np.asarray(res.dists)

@@ -1005,14 +1005,34 @@ def rerank_onehop(points, adj, queries, cand_ids, *, k: int, seeds: int):
     equalizer for inexact navigation."""
     B, H = cand_ids.shape
     cap = points.shape[0]
-    _, seed_ids = rerank_exact(points, queries, cand_ids, k=seeds)
+    # one exact pass over the beam serves BOTH seed selection and the
+    # final union sort (re-gathering the beam would waste H rows/query)
+    bd, bi = rerank_exact(points, queries, cand_ids, k=H)
+    seed_ids = bi[:, :seeds]
     rows = adj[jnp.clip(seed_ids, 0, cap - 1)]  # [B, seeds, W]
     rows = jnp.where(
         (seed_ids >= 0)[:, :, None] & (seed_ids < cap)[:, :, None],
         rows, -1,
     ).reshape(B, -1)
-    union = jnp.concatenate([cand_ids, rows], axis=1)
-    return rerank_exact(points, queries, union, k=k, dedup=True)
+    valid = (rows >= 0) & (rows < cap)
+    safe = jnp.clip(rows, 0, cap - 1)
+    pts = points[safe].reshape(B, rows.shape[1], -1)
+    hd = jnp.sum(
+        jax.lax.population_count(pts ^ queries.reshape(B, 1, -1)), axis=2
+    ).astype(jnp.int32)
+    hd = jnp.where(valid, hd, DINF)
+    hi = jnp.where(valid, rows, IINF)
+    d = jnp.concatenate([bd, hd], axis=1)
+    ids = jnp.concatenate([bi, hi], axis=1)
+    # dedup by id (hop rows overlap the beam and each other), then top-k
+    ids, d = jax.lax.sort((ids, d), num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=1
+    )
+    d = jnp.where(dup, DINF, d)
+    ids = jnp.where(dup, IINF, ids)
+    d, ids = jax.lax.sort((d, ids), num_keys=2)
+    return d[:, :k], ids[:, :k]
 
 
 @functools.partial(

@@ -110,7 +110,7 @@ def _sharded_query_step(
                      "entry_sample", "W", "words", "block_q", "interpret"),
 )
 def _sharded_query_step_fused(
-    points_s, data_s, ids_s, off_s, n_s, qs, *, k, ef, metric_name,
+    points_s, data_s, ids_s, ep_s, off_s, n_s, qs, *, k, ef, metric_name,
     max_steps, mesh, entry_sample, W, words, block_q, interpret
 ):
     """Index-sharded query with the FUSED Pallas kernel per shard: each
@@ -125,14 +125,17 @@ def _sharded_query_step_fused(
 
     metric = get_metric(metric_name)
 
-    def step(points_b, data_b, ids_b, off_b, n_b, q):
+    def step(points_b, data_b, ids_b, ep_b, off_b, n_b, q):
         points = points_b[0]
         table = FusedTable(data_b[0], ids_b[0])
         cap = table.cap
         id_bits = max(1, (cap - 1).bit_length())
         max_d = key_clamp(id_bits, words * 32)
-        eps = sampled_entry(points, q, jnp.maximum(n_b[0], 1),
-                            sample_size=entry_sample, metric=metric)
+        if entry_sample > 0:
+            eps = sampled_entry(points, q, jnp.maximum(n_b[0], 1),
+                                sample_size=entry_sample, metric=metric)
+        else:
+            eps = jnp.full((q.shape[0],), ep_b[0], jnp.int32)
         d0 = jax.vmap(lambda qq, p: metric.one_to_many(qq, p[None])[0])(
             q, points[eps]
         ).astype(jnp.int32)
@@ -164,10 +167,10 @@ def _sharded_query_step_fused(
     return jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(points_s, data_s, ids_s, off_s, n_s, qs)
+    )(points_s, data_s, ids_s, ep_s, off_s, n_s, qs)
 
 
 # ---------------------------------------------------------------------------
@@ -313,8 +316,11 @@ class ShardedNSW:
         self.opts = opts
         self.query_expand = 1
         self.query_entry_sample = 0  # >0: per-shard MXU sampled entry
-        self.max_steps = 2048
+        self.max_steps = None  # None = auto (2*ef; any explicit value wins)
         self.fused_s = None  # per-shard fused tables (enable_inline)
+
+    def _steps_cap(self, ef: int) -> int:
+        return self.max_steps if self.max_steps else max(2 * ef, 64)
 
     @classmethod
     def build(cls, points, opts: IndexOptions, metric="hamming",
@@ -421,19 +427,18 @@ class ShardedNSW:
     def knns(self, queries, k: int, ef: int) -> KnnResult:
         import os
 
-        nq = np.asarray(queries).shape[0]
+        q_np = np.asarray(queries)
+        nq = q_np.shape[0]
         use_fused = (
             self.fused_s is not None
             and max(ef, k) <= 128
             and self.query_expand == 1
-            and self.query_entry_sample > 0
         )
         if use_fused:
             from ..models.nsw import _fused_batch
             from ..ops.pallas_search import fused_width
 
             bp, block_q = _fused_batch(nq)
-            q_np = np.asarray(queries)
             if bp != nq:
                 q_np = np.concatenate(
                     [q_np, np.repeat(q_np[:1], bp - nq, axis=0)]
@@ -443,14 +448,14 @@ class ShardedNSW:
                 self.points_s,
                 self.fused_s[0],
                 self.fused_s[1],
+                self.eps,
                 self.offsets,
                 self.ns,
                 qs,
                 k=k,
                 ef=ef,
                 metric_name=self.metric.name,
-                max_steps=self.max_steps if self.max_steps != 2048
-                else max(2 * ef, 64),
+                max_steps=self._steps_cap(ef),
                 mesh=self.mesh,
                 entry_sample=self.query_entry_sample,
                 W=fused_width(int(self.adj_s.shape[-1])),
@@ -459,7 +464,7 @@ class ShardedNSW:
                 interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
             )
             return KnnResult(d[:nq], i[:nq])
-        qs = replicate(self.mesh, jnp.asarray(np.asarray(queries)))
+        qs = replicate(self.mesh, jnp.asarray(q_np))
         d, i = _sharded_query_step(
             self.points_s,
             self.adj_s,
@@ -471,7 +476,7 @@ class ShardedNSW:
             ef=ef,
             metric_name=self.metric.name,
             expand=self.query_expand,
-            max_steps=self.max_steps,
+            max_steps=self._steps_cap(ef),
             mesh=self.mesh,
             entry_sample=self.query_entry_sample,
         )
