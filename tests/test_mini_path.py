@@ -76,6 +76,38 @@ def test_mini_query_path_end_to_end(mini_env):
     assert (np.diff(d0, axis=1) >= 0).all()
 
 
+def test_hnsw_fused_query_path_end_to_end(monkeypatch):
+    """HNSW glue over the fused kernel (descent/sampled entry + packed
+    keys + decode) in interpret mode — the flagship single-chip path."""
+    monkeypatch.setenv("HNSW_TPU_MINI_INTERPRET", "1")
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+
+    rng = np.random.default_rng(8)
+    n, nq, k = 1200, 64, 10
+    centers = rng.integers(0, 2**32, size=(20, 32), dtype=np.uint32)
+    pts = _clustered(rng, n, centers)
+    qs = _clustered(rng, nq, centers)
+    opts = IndexOptions(ef_construction=48, connections=12,
+                        max_connections=32, size=n, batch_size=128,
+                        host_warmup=0)
+    b = HNSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    index = b.build()
+    index.enable_inline()
+    assert index.fused is not None
+
+    gt = []
+    for q in qs:
+        d = np.unpackbits((pts ^ q).view(np.uint8), axis=1).sum(1)
+        gt.append(np.lexsort((np.arange(n), d))[:k])
+
+    index.query_batch = 256
+    index.query_entry_sample = 64  # sampled entry (flagship config)
+    res = index.knns(qs, k, 48)
+    r0 = _recall(np.asarray(res.ids), gt, k)
+    assert r0 >= 0.95, r0
+
+
 def test_fused_query_path_end_to_end(monkeypatch):
     """Same glue coverage for the FUSED path (NSW.knns ->
     _query_step_fused -> packed kernel -> key decode) via interpret."""
