@@ -23,14 +23,16 @@ def relay_alive(timeout: float = 3.0) -> bool:
         return False
 
 
-def require_device(exit_code: int = 2) -> None:
+def require_device(exit_code: int = 2, platforms: str | None = None) -> None:
     """Exit fast when the configured platform needs the relay and the
     relay is down. Reads the jax *config* (the env var JAX_PLATFORMS is
     ignored by this environment's sitecustomize — only
-    jax.config.update("jax_platforms", ...) pins a platform)."""
-    import jax
+    jax.config.update("jax_platforms", ...) pins a platform).
+    ``platforms`` overrides the config read (tests)."""
+    if platforms is None:
+        import jax
 
-    platforms = jax.config.jax_platforms or "axon"
+        platforms = jax.config.jax_platforms or "axon"
     if "axon" not in platforms:
         return
     if platforms.split(",")[0] == "cpu":

@@ -16,20 +16,17 @@ def test_relay_alive_false_on_refused(monkeypatch):
 
 
 def test_require_device_exits_when_axon_and_dead(monkeypatch):
-    import jax
-
     monkeypatch.setattr(tunnel, "relay_alive", lambda *a, **kw: False)
-    monkeypatch.setattr(
-        jax.config, "jax_platforms", "axon,cpu", raising=False
-    )
     with pytest.raises(SystemExit) as e:
-        tunnel.require_device()
+        tunnel.require_device(platforms="axon,cpu")
     assert e.value.code == 2
 
 
 def test_require_device_noop_on_cpu(monkeypatch):
-    import jax
-
     monkeypatch.setattr(tunnel, "relay_alive", lambda *a, **kw: False)
-    monkeypatch.setattr(jax.config, "jax_platforms", "cpu", raising=False)
-    tunnel.require_device()  # must not exit
+    tunnel.require_device(platforms="cpu")  # must not exit
+
+
+def test_require_device_noop_when_alive(monkeypatch):
+    monkeypatch.setattr(tunnel, "relay_alive", lambda *a, **kw: True)
+    tunnel.require_device(platforms="axon,cpu")  # must not exit
