@@ -435,6 +435,193 @@ def chunk_step(
     return points, graph, adj_pts, spill, dropped
 
 
+def _scanned_body(
+    do_write: bool,
+    node_map,
+    chunks,
+    new_ids,
+    n0s,
+    *,
+    G: int,
+    cp: int,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int,
+    max_steps: int,
+    prune_budget: int,
+    entry_sample: int,
+    inline_words: int,
+):
+    """Shared fori_loop body factory for the scanned G-chunk dispatchers
+    (see ``chunk_steps_scanned``). Returns body(i, carry) where carry is
+    (points, graph, adj_pts, spill, drops)."""
+    metric = get_metric(metric_name)
+
+    def body(i, carry):
+        points, graph, adj_pts, spill, drops = carry
+        chunk = jax.lax.dynamic_slice_in_dim(chunks, i * cp, cp, axis=0)
+        ids = jax.lax.dynamic_slice_in_dim(new_ids, i * cp, cp, axis=0)
+        n0 = n0s[i]
+        if do_write:
+            points = write_points(points, chunk, n0)
+        eps_full = sampled_entry(
+            points, chunk, n0, sample_size=entry_sample, metric=metric
+        )
+
+        def real_win(s):
+            qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
+            eps = jax.lax.dynamic_slice_in_dim(eps_full, s, S, axis=0)
+            valid = jax.lax.dynamic_slice_in_dim(ids, s, S, axis=0) >= 0
+            sel_ids, _ = search_select(
+                points, node_map, graph.adj, qs, valid, eps, adj_pts,
+                efc=efc, m=m, metric_name=metric_name, expand=expand,
+                max_steps=max_steps, inline_words=inline_words,
+            )
+            return sel_ids
+
+        K = cp // S
+        if K <= 1:
+            sel = real_win(jnp.int32(0))
+        else:
+            def win(j):
+                s = j * S
+                # padding rows are a SUFFIX of the group's id vector, so a
+                # window is live iff its first row is
+                first = jax.lax.dynamic_index_in_dim(
+                    ids, s, axis=0, keepdims=False
+                )
+                return jax.lax.cond(
+                    first >= 0, real_win,
+                    lambda _: jnp.full((S, m), -1, jnp.int32), s,
+                )
+
+            sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
+            sel = sel.reshape(cp, -1)
+
+        graph, adj_pts, spill, dropped = apply_inserts(
+            points, node_map, graph, ids, sel, adj_pts, spill,
+            metric_name=metric_name, prune_budget=prune_budget,
+            inline_words=inline_words,
+        )
+        return points, graph, adj_pts, spill, drops + dropped
+
+    return body
+
+
+_SCANNED_STATICS = ("G", "cp", "S", "efc", "m", "metric_name", "expand",
+                    "max_steps", "prune_budget", "entry_sample",
+                    "inline_words")
+
+
+@functools.partial(
+    jax.jit, static_argnames=_SCANNED_STATICS, donate_argnums=(0, 2, 3, 4)
+)
+def chunk_steps_scanned(
+    points,
+    node_map,
+    graph: GraphArrays,
+    adj_pts,
+    spill,
+    chunks,
+    new_ids,
+    n0s,
+    *,
+    G: int,
+    cp: int,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    prune_budget: int = 256,
+    entry_sample: int = 1024,
+    inline_words: int = 0,
+):
+    """G equal-shape construction chunks in ONE device dispatch: a
+    fori_loop whose body is a whole ``chunk_step`` (write + sampled entry
+    + window map + mutation), state carried in place.
+
+    Per-dispatch costs this amortizes G-fold on the remote backend:
+      * the tunnel round trip (a 10M build at max_chunk=16k is ~600
+        steady-state chunk dispatches);
+      * the donation copy — the remote runtime does NOT alias donated
+        buffers, so every chunk_step dispatch transiently copies graph
+        (+ the multi-GB inline adj_pts). XLA's while-loop carries ARE
+        aliased in place, so a group pays one copy instead of G.
+
+    Semantics: bit-identical to G sequential ``chunk_step`` calls with
+    ``use_entry=True`` and full chunks — sub-chunk i's searches see
+    sub-chunks < i fully inserted (same bulk-synchronous order).
+
+    Args:
+      chunks: [G*cp, ...] stacked chunk rows (each sub-chunk cp rows).
+      new_ids: int32[G*cp] graph-local ids; -1 padding must form a SUFFIX.
+      n0s: int32[G] per-sub-chunk points-write offset / sampled-entry
+        population bound.
+
+    Returns (points, graph, adj_pts, spill, total_dropped).
+    """
+    body = _scanned_body(
+        True, node_map, chunks, new_ids, n0s, G=G, cp=cp, S=S, efc=efc,
+        m=m, metric_name=metric_name, expand=expand, max_steps=max_steps,
+        prune_budget=prune_budget, entry_sample=entry_sample,
+        inline_words=inline_words,
+    )
+    carry = (points, graph, adj_pts, spill, jnp.int32(0))
+    return jax.lax.fori_loop(0, G, body, carry)
+
+
+@functools.partial(
+    jax.jit, static_argnames=_SCANNED_STATICS, donate_argnums=(2, 3, 4)
+)
+def chunk_steps_scanned_prewritten(
+    points,
+    node_map,
+    graph: GraphArrays,
+    adj_pts,
+    spill,
+    chunks,
+    new_ids,
+    n0s,
+    *,
+    G: int,
+    cp: int,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    prune_budget: int = 256,
+    entry_sample: int = 1024,
+    inline_words: int = 0,
+):
+    """``chunk_steps_scanned`` for callers that already wrote the points
+    (HNSW writes whole groups up front; level-0 rows are non-contiguous).
+    ``points`` is read-only here — not donated, not returned.
+
+    Returns (graph, adj_pts, spill, total_dropped)."""
+    body = _scanned_body(
+        False, node_map, chunks, new_ids, n0s, G=G, cp=cp, S=S, efc=efc,
+        m=m, metric_name=metric_name, expand=expand, max_steps=max_steps,
+        prune_budget=prune_budget, entry_sample=entry_sample,
+        inline_words=inline_words,
+    )
+
+    def body_np(i, carry):
+        graph, adj_pts, spill, drops = carry
+        _, graph, adj_pts, spill, drops = body(
+            i, (points, graph, adj_pts, spill, drops)
+        )
+        return graph, adj_pts, spill, drops
+
+    carry = (graph, adj_pts, spill, jnp.int32(0))
+    return jax.lax.fori_loop(0, G, body_np, carry)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "efc", "m", "metric_name", "expand", "max_steps",

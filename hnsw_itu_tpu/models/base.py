@@ -48,6 +48,10 @@ class IndexOptions:
     # exact reference semantics before batched TPU chunks take over — the
     # analogue of the reference's 50k sequential warmup (nsw.rs:234-235)
     host_warmup: int = 50_000
+    # steady-state chunks grouped per device dispatch (_build.
+    # chunk_steps_scanned): amortizes the remote backend's per-dispatch
+    # donation copy + round trip G-fold. 1 disables grouping.
+    scan_group: int = 8
 
     def __post_init__(self):
         # chunk windows are sliced in fixed strides of batch_size; a

@@ -543,31 +543,57 @@ class HNSWBuilder:
         if self.ep is None and pts.shape[0] > 0:
             self._insert_chunk(pts[:1])
             off = 1
-        for c in _build.chunk_schedule(
-            self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
-        ):
-            chunk = pts[off : off + c]
-            # write the whole chunk in ORIGINAL order (ids must match
+        max_chunk = self.opts.batch_size * 16
+        sched = _build.chunk_schedule(
+            self.n, pts.shape[0] - off, max_chunk=max_chunk
+        )
+        i = 0
+        while i < len(sched):
+            from .nsw import NSWBuilder
+
+            c = sched[i]
+            # steady state: scan_group chunks per dispatch for the base
+            # layer (NSWBuilder._scan_group — same gating)
+            G = NSWBuilder._scan_group(self, sched, i, max_chunk)
+            chunk = pts[off : off + G * c]
+            # write the whole group in ORIGINAL order (ids must match
             # dataset row order), then insert per-level groups
             n0 = self.n
-            if self.n + c > self.opts.size:
+            if self.n + G * c > self.opts.size:
                 raise ValueError(
                     "index capacity exceeded; raise IndexOptions.size"
                 )
             self.points = _build.write_points(
                 self.points, jnp.asarray(chunk), jnp.int32(n0)
             )
-            self.n += c
-            levels = np.array([self._random_level() for _ in range(c)])
-            # highest groups first so new top layers seed correctly
+            self.n += G * c
+            # one draw per point in id order — the SAME RNG stream whether
+            # or not chunks are grouped
+            levels = np.array([self._random_level() for _ in range(G * c)])
+            # highest groups first so new top layers seed correctly; with
+            # G > 1 the upper-level groups span the whole G-chunk window
+            # (a bulk-synchronous relaxation over <=G*c points: upper
+            # points of later sub-chunks insert before earlier sub-chunks'
+            # level-0 points — the reference's parallel build relaxes
+            # insert order chunk-wide the same way, nsw.rs:224-277)
             for lvl in sorted(set(levels.tolist()), reverse=True):
+                if lvl == 0 and G > 1:
+                    continue  # scanned base path below
                 mask = levels == lvl
                 self._insert_registered(
                     chunk[mask],
                     (n0 + np.nonzero(mask)[0]).astype(np.int32),
                     int(lvl),
                 )
-            off += c
+            if G > 1:
+                mask = levels == 0
+                self._insert_base_scanned(
+                    chunk[mask],
+                    (n0 + np.nonzero(mask)[0]).astype(np.int32),
+                    c,
+                )
+            off += G * c
+            i += G
             if progress:
                 progress(off)
 
@@ -904,6 +930,53 @@ class HNSWBuilder:
             entry_sample=self.opts.entry_sample,
             use_entry=use_entry,
             do_write=False,
+            inline_words=self.inline_words,
+        )
+        self.edge_drops.append(dropped)
+        if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
+            # throttle queue-ahead dispatch (see NSWBuilder._insert_chunk)
+            np.asarray(self.base.deg[:1])
+
+    def _insert_base_scanned(self, chunk: np.ndarray, base_ids: np.ndarray,
+                             c: int):
+        """A whole group's level-0 points in ONE dispatch
+        (_build.chunk_steps_scanned_prewritten): the scanned analogue of
+        the ``_insert_graph`` fast path. Points were written by
+        extend_batched; level-0 ids are non-contiguous (upper-level points
+        interleave), so the stacked id vector is passed explicitly. The
+        sampled-entry population bound is the group start for every
+        sub-chunk (conservative: later sub-chunks don't sample the
+        group's own rows — a 1-in-entry_sample effect at steady state)."""
+        n_l0 = chunk.shape[0]
+        if n_l0 == 0:
+            return
+        n0 = int(base_ids[0])
+        Gs = -(-n_l0 // c)
+        cp = Gs * c
+        chunkp = _pad_rows(np.asarray(chunk), cp)
+        ids = np.full((cp,), -1, np.int32)
+        ids[:n_l0] = base_ids
+        S = min(self.opts.batch_size, c)
+        (self.base, self.adj_pts, self.spill,
+         dropped) = _build.chunk_steps_scanned_prewritten(
+            self.points,
+            self._node_map,
+            self.base,
+            self.adj_pts,
+            self.spill,
+            jnp.asarray(chunkp),
+            jnp.asarray(ids),
+            jnp.asarray(np.full((Gs,), n0, np.int32)),
+            G=Gs,
+            cp=c,
+            S=S,
+            efc=self.opts.ef_construction,
+            m=self.opts.connections,
+            metric_name=self.metric.name,
+            expand=self.opts.expand,
+            prune_budget=min(self.opts.size,
+                             max(self.opts.prune_budget, c)),
+            entry_sample=self.opts.entry_sample,
             inline_words=self.inline_words,
         )
         self.edge_drops.append(dropped)

@@ -636,13 +636,77 @@ class NSWBuilder:
         if self.ep is None and pts.shape[0] > off:
             self._insert_chunk(pts[off : off + 1])
             off += 1
-        for c in _build.chunk_schedule(
-            self.n, pts.shape[0] - off, max_chunk=self.opts.batch_size * 16
-        ):
-            self._insert_chunk(pts[off : off + c])
-            off += c
+        max_chunk = self.opts.batch_size * 16
+        sched = _build.chunk_schedule(
+            self.n, pts.shape[0] - off, max_chunk=max_chunk
+        )
+        i = 0
+        while i < len(sched):
+            c = sched[i]
+            G = self._scan_group(sched, i, max_chunk)
+            if G > 1:
+                self._insert_chunks_scanned(pts[off : off + G * c], G, c)
+            else:
+                self._insert_chunk(pts[off : off + c])
+            off += G * c
+            i += G
             if progress:
                 progress(off)
+
+    def _scan_group(self, sched, i: int, max_chunk: int) -> int:
+        """Group size for the scanned multi-chunk dispatch starting at
+        schedule position i: scan_group consecutive STEADY-STATE chunks
+        (full max_chunk rows, sampled-entry regime) or nothing — one extra
+        program shape total, leftovers run through the per-chunk path
+        (ramp-up chunk sizes vary and each novel shape is a fresh remote
+        compile)."""
+        g = self.opts.scan_group
+        if (
+            g <= 1
+            or sched[i] != max_chunk
+            or self.opts.entry_sample <= 0
+            or self.n <= self.opts.entry_sample
+            or i + g > len(sched)
+            or any(sched[i + j] != max_chunk for j in range(1, g))
+        ):
+            return 1
+        return g
+
+    def _insert_chunks_scanned(self, chunk: np.ndarray, G: int, c: int):
+        """G full equal chunks in ONE dispatch (_build.chunk_steps_scanned)
+        — bit-identical to G ``_insert_chunk`` calls, minus G-1 donation
+        copies and round trips."""
+        if self.n + G * c > self.opts.size:
+            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+        n0 = self.n
+        S = min(self.opts.batch_size, c)
+        (self.points, self.graph, self.adj_pts, self.spill,
+         dropped) = _build.chunk_steps_scanned(
+            self.points,
+            self._node_map,
+            self.graph,
+            self.adj_pts,
+            self.spill,
+            jnp.asarray(chunk),
+            jnp.asarray(n0 + np.arange(G * c, dtype=np.int32)),
+            jnp.asarray(n0 + c * np.arange(G, dtype=np.int32)),
+            G=G,
+            cp=c,
+            S=S,
+            efc=self.opts.ef_construction,
+            m=self.opts.connections,
+            metric_name=self.metric.name,
+            expand=self.opts.expand,
+            prune_budget=min(self.opts.size,
+                             max(self.opts.prune_budget, c)),
+            entry_sample=self.opts.entry_sample,
+            inline_words=self.inline_words,
+        )
+        self.n += G * c
+        self.edge_drops.append(dropped)
+        if self.adj_pts is not None and self.adj_pts.nbytes > 1 << 30:
+            # throttle queue-ahead dispatch (see _insert_chunk)
+            np.asarray(self.graph.deg[:1])
 
     def _host_warmup(self, pts: np.ndarray) -> int:
         """Insert the first ``host_warmup`` points on the CPU with exact
