@@ -259,6 +259,97 @@ def sharded_build_step(
     )(points_s, adj_s, deg_s, ep_s, n_s, chunk_s, chunk_valid_s)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "c", "efc", "m", "metric_name", "expand",
+                     "prune_budget", "mesh"),
+    donate_argnums=(0, 1, 2),
+)
+def sharded_build_steps_scanned(
+    points_s,
+    adj_s,
+    deg_s,
+    ep_s,
+    n_s,
+    ns_s,
+    pos0,
+    *,
+    G,
+    c,
+    efc,
+    m,
+    metric_name,
+    expand,
+    prune_budget,
+    mesh,
+):
+    """G consecutive construction chunks on every shard in ONE shard_map
+    dispatch — the mesh analogue of ``_build.chunk_steps_scanned`` (same
+    motivation: the remote runtime copies donated buffers per dispatch, a
+    fori_loop carry aliases them in place).
+
+    Because ``ShardedNSW.build`` uploads every shard's points up front,
+    chunks are sliced from the device-resident buffer (the per-chunk
+    step's chunk re-write is a no-op here and skipped) and the validity
+    mask is computed in-kernel from the shard's final row count ``ns_s``
+    — bit-identical state evolution to G ``sharded_build_step`` calls.
+
+    Args:
+      ns_s: int32[S] final live row count per shard (chunk_valid source).
+      pos0: int32 scalar, first chunk's row offset within each shard.
+    """
+
+    def step(points_b, adj_b, deg_b, ep_b, n_b, ns_b, pos0_):
+        points, adj, deg = points_b[0], adj_b[0], deg_b[0]
+        ep, ns = ep_b[0], ns_b[0]
+        cap = points.shape[0]
+        node_map = jnp.arange(cap, dtype=jnp.int32)
+
+        def body(i, carry):
+            adj, deg, n = carry
+            pos = pos0_ + i * c
+            chunk = jax.lax.dynamic_slice_in_dim(points, pos, c, axis=0)
+            valid = (pos + jnp.arange(c, dtype=jnp.int32)) < ns
+            sel_ids, _ = _build.search_select(
+                points,
+                node_map,
+                adj,
+                chunk,
+                valid,
+                jnp.full((c,), ep, jnp.int32),
+                efc=efc,
+                m=m,
+                metric_name=metric_name,
+                expand=expand,
+            )
+            new_ids = jnp.where(
+                valid, n + jnp.arange(c, dtype=jnp.int32), -1
+            )
+            g, _, _, _ = _build.apply_inserts(
+                points,
+                node_map,
+                GraphArrays(adj, deg),
+                new_ids,
+                sel_ids,
+                None,
+                _build.make_spill(cap),
+                metric_name=metric_name,
+                prune_budget=prune_budget,
+            )
+            return g.adj, g.deg, n + jnp.sum(valid.astype(jnp.int32))
+
+        adj, deg, n = jax.lax.fori_loop(0, G, body, (adj, deg, n_b[0]))
+        return points_b, adj[None], deg[None], n[None]
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 6 + (P(),),
+        out_specs=(P(AXIS),) * 4,
+        check_vma=False,
+    )(points_s, adj_s, deg_s, ep_s, n_s, ns_s, pos0)
+
+
 # ---------------------------------------------------------------------------
 # query-sharded (replicated-index) step — rayon par_iter analogue
 # ---------------------------------------------------------------------------
@@ -357,25 +448,55 @@ class ShardedNSW:
             mesh, jnp.asarray(np.minimum(ns, 1), jnp.int32)
         )
 
+        metric_name = metric if isinstance(metric, str) else metric.name
+        ns_s = shard_leading(mesh, jnp.asarray(ns, jnp.int32))
         pos = 1
-        for c in _build.chunk_schedule(
+        sched = _build.chunk_schedule(
             1, max(0, cap_s - 1), max_chunk=opts.batch_size
-        ):
-            # slice the chunk from the DEVICE-resident shard points (axis 0
-            # sharding is preserved; axis 1 is unsharded) — a host-side
-            # chunk would pay one tunnel upload per step on the remote
-            # backend, the exact overhead the single-chip builder removed
-            chunk = points_s[:, pos : pos + c]
-            valid = (pos + np.arange(c)[None, :]) < ns[:, None]
-            points_s, adj_s, deg_s, n_s = sharded_build_step(
-                points_s, adj_s, deg_s, ep_s, n_s,
-                chunk,
-                shard_leading(mesh, jnp.asarray(valid)),
-                efc=opts.ef_construction, m=opts.connections,
-                metric_name=metric if isinstance(metric, str) else metric.name,
-                expand=opts.expand, prune_budget=opts.prune_budget, mesh=mesh,
-            )
-            pos += c
+        )
+        i = 0
+        while i < len(sched):
+            c = sched[i]
+            # steady state: scan_group chunks per dispatch (the mesh
+            # analogue of NSWBuilder._scan_group's gating — full max_chunk
+            # runs only, so ramp-up adds no program shapes)
+            G = opts.scan_group
+            if (
+                G <= 1
+                or c != opts.batch_size
+                or i + G > len(sched)
+                or any(sched[i + j] != c for j in range(1, G))
+            ):
+                G = 1
+            if G > 1:
+                points_s, adj_s, deg_s, n_s = sharded_build_steps_scanned(
+                    points_s, adj_s, deg_s, ep_s, n_s, ns_s,
+                    jnp.int32(pos),
+                    G=G, c=c,
+                    efc=opts.ef_construction, m=opts.connections,
+                    metric_name=metric_name,
+                    expand=opts.expand, prune_budget=opts.prune_budget,
+                    mesh=mesh,
+                )
+            else:
+                # slice the chunk from the DEVICE-resident shard points
+                # (axis 0 sharding is preserved; axis 1 is unsharded) — a
+                # host-side chunk would pay one tunnel upload per step on
+                # the remote backend, the exact overhead the single-chip
+                # builder removed
+                chunk = points_s[:, pos : pos + c]
+                valid = (pos + np.arange(c)[None, :]) < ns[:, None]
+                points_s, adj_s, deg_s, n_s = sharded_build_step(
+                    points_s, adj_s, deg_s, ep_s, n_s,
+                    chunk,
+                    shard_leading(mesh, jnp.asarray(valid)),
+                    efc=opts.ef_construction, m=opts.connections,
+                    metric_name=metric_name,
+                    expand=opts.expand, prune_budget=opts.prune_budget,
+                    mesh=mesh,
+                )
+            pos += G * c
+            i += G
         return cls(
             mesh,
             points_s,

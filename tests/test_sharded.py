@@ -190,3 +190,25 @@ def test_query_sharded_matches_single(mesh):
     sharded = knns_query_sharded(nsw, qs, 5, 32, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(single.ids), np.asarray(sharded.ids))
     np.testing.assert_array_equal(np.asarray(single.dists), np.asarray(sharded.dists))
+
+
+def test_sharded_scanned_build_bitexact(mesh):
+    """sharded_build_steps_scanned must evolve the exact same state as G
+    per-chunk sharded_build_step dispatches (chunks slice device-side and
+    the validity mask is computed in-kernel — both asserted here)."""
+    rng = np.random.default_rng(9)
+    n = 8 * 768  # cap_s=768: ramp to pos 512, then 4 steady 64-chunks
+    pts = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+    states = []
+    for g in (1, 2):
+        opts = IndexOptions(host_warmup=0, ef_construction=16, connections=8,
+                            max_connections=16, size=n, batch_size=64,
+                            scan_group=g)
+        idx = ShardedNSW.build(pts, opts, metric="hamming", mesh=mesh)
+        states.append((np.asarray(idx.adj_s), np.asarray(idx.deg_s),
+                       np.asarray(idx.ns)))
+    (a1, d1, n1), (a2, d2, n2) = states
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(a1, a2)
