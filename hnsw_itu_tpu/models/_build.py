@@ -441,6 +441,7 @@ def _scanned_body(
     chunks,
     new_ids,
     n0s,
+    eps0=None,
     *,
     G: int,
     cp: int,
@@ -456,7 +457,10 @@ def _scanned_body(
 ):
     """Shared fori_loop body factory for the scanned G-chunk dispatchers
     (see ``chunk_steps_scanned``). Returns body(i, carry) where carry is
-    (points, graph, adj_pts, spill, drops)."""
+    (points, graph, adj_pts, spill, drops). ``eps0`` (optional int32
+    [G*cp]) supplies per-row entry nodes: rows >= 0 use the supplied
+    entry (HNSW's descent-chained upper-level points), rows < 0 fall
+    back to the MXU sampled entry."""
     metric = get_metric(metric_name)
 
     def body(i, carry):
@@ -469,6 +473,9 @@ def _scanned_body(
         eps_full = sampled_entry(
             points, chunk, n0, sample_size=entry_sample, metric=metric
         )
+        if eps0 is not None:
+            sup = jax.lax.dynamic_slice_in_dim(eps0, i * cp, cp, axis=0)
+            eps_full = jnp.where(sup >= 0, sup, eps_full)
 
         def real_win(s):
             qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
@@ -586,6 +593,7 @@ def chunk_steps_scanned_prewritten(
     chunks,
     new_ids,
     n0s,
+    eps0=None,
     *,
     G: int,
     cp: int,
@@ -601,14 +609,16 @@ def chunk_steps_scanned_prewritten(
 ):
     """``chunk_steps_scanned`` for callers that already wrote the points
     (HNSW writes whole groups up front; level-0 rows are non-contiguous).
-    ``points`` is read-only here — not donated, not returned.
+    ``points`` is read-only here — not donated, not returned. ``eps0``
+    optionally supplies descent-chained entries per row (see
+    ``_scanned_body``).
 
     Returns (graph, adj_pts, spill, total_dropped)."""
     body = _scanned_body(
-        False, node_map, chunks, new_ids, n0s, G=G, cp=cp, S=S, efc=efc,
-        m=m, metric_name=metric_name, expand=expand, max_steps=max_steps,
-        prune_budget=prune_budget, entry_sample=entry_sample,
-        inline_words=inline_words,
+        False, node_map, chunks, new_ids, n0s, eps0, G=G, cp=cp, S=S,
+        efc=efc, m=m, metric_name=metric_name, expand=expand,
+        max_steps=max_steps, prune_budget=prune_budget,
+        entry_sample=entry_sample, inline_words=inline_words,
     )
 
     def body_np(i, carry):

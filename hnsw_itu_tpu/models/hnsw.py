@@ -573,24 +573,38 @@ class HNSWBuilder:
             # highest groups first so new top layers seed correctly; with
             # G > 1 the upper-level groups span the whole G-chunk window
             # (a bulk-synchronous relaxation over <=G*c points: upper
-            # points of later sub-chunks insert before earlier sub-chunks'
-            # level-0 points — the reference's parallel build relaxes
-            # insert order chunk-wide the same way, nsw.rs:224-277)
+            # points' LEVEL inserts run before the whole window's base
+            # inserts — the reference's parallel build relaxes insert
+            # order chunk-wide the same way, nsw.rs:224-277). Their base
+            # inserts are DEFERRED and merged back at id order into one
+            # scanned dispatch, carrying their descent-chained entries.
+            deferred = []
             for lvl in sorted(set(levels.tolist()), reverse=True):
                 if lvl == 0 and G > 1:
                     continue  # scanned base path below
                 mask = levels == lvl
-                self._insert_registered(
+                d = self._insert_registered(
                     chunk[mask],
                     (n0 + np.nonzero(mask)[0]).astype(np.int32),
                     int(lvl),
+                    defer_base=G > 1,
                 )
+                if d is not None:
+                    deferred.append(d)
             if G > 1:
                 mask = levels == 0
+                parts = [(chunk[mask],
+                          (n0 + np.nonzero(mask)[0]).astype(np.int32),
+                          np.full((int(mask.sum()),), -1, np.int32))
+                         ] + deferred
+                mchunk = np.concatenate([p[0] for p in parts])
+                mids = np.concatenate([p[1] for p in parts])
+                meps = np.concatenate(
+                    [np.asarray(p[2], np.int32) for p in parts]
+                )
+                order = np.argsort(mids, kind="stable")
                 self._insert_base_scanned(
-                    chunk[mask],
-                    (n0 + np.nonzero(mask)[0]).astype(np.int32),
-                    c,
+                    mchunk[order], mids[order], meps[order], c
                 )
             off += G * c
             i += G
@@ -751,9 +765,14 @@ class HNSWBuilder:
         self._insert_registered(chunk, base_ids, level)
 
     def _insert_registered(self, chunk: np.ndarray, base_ids: np.ndarray,
-                           level: int):
+                           level: int, defer_base: bool = False):
         """Insert already-written points (ids = their base rows) at the
-        given level.
+        given level. With ``defer_base`` the final base-layer insert is NOT
+        applied; instead (chunk, base_ids, eps) of the real rows is
+        returned so grouped builds can merge it into one scanned base
+        dispatch (every base chunk_step donates the multi-GB graph +
+        inline buffers — one merged dispatch per group instead of one per
+        level group).
 
         Shapes are bucketed up-front (pow2, floor 256): per-level group
         sizes are random, and every novel shape costs a fresh remote
@@ -840,6 +859,13 @@ class HNSWBuilder:
                 eps_j = self._insert_level(l, chunk, slots[l], eps_j, c)
 
         # -- base layer (hnsw.rs:142-167)
+        if defer_base:
+            # real rows are a prefix (padding carries base_id -1)
+            return (
+                np.asarray(chunk)[:c],
+                np.asarray(base_ids)[:c],
+                np.asarray(eps_j)[:c],
+            )
         self._insert_graph(chunk, base_ids, eps_j, n_valid=c)
 
     # -- helpers ---------------------------------------------------------------
@@ -938,24 +964,27 @@ class HNSWBuilder:
             np.asarray(self.base.deg[:1])
 
     def _insert_base_scanned(self, chunk: np.ndarray, base_ids: np.ndarray,
-                             c: int):
-        """A whole group's level-0 points in ONE dispatch
+                             eps: np.ndarray, c: int):
+        """A whole group's base-layer inserts in ONE dispatch
         (_build.chunk_steps_scanned_prewritten): the scanned analogue of
-        the ``_insert_graph`` fast path. Points were written by
-        extend_batched; level-0 ids are non-contiguous (upper-level points
-        interleave), so the stacked id vector is passed explicitly. The
-        sampled-entry population bound is the group start for every
-        sub-chunk (conservative: later sub-chunks don't sample the
-        group's own rows — a 1-in-entry_sample effect at steady state)."""
-        n_l0 = chunk.shape[0]
-        if n_l0 == 0:
+        ``_insert_graph``. Points were written by extend_batched; the id
+        vector is passed explicitly (id order, one row per group point).
+        ``eps`` rows >= 0 carry the descent-chained entries of the
+        deferred upper-level points; -1 rows (the level-0 majority) use
+        the MXU sampled entry, whose population bound is the group start
+        for every sub-chunk (conservative: later sub-chunks don't sample
+        the group's own rows — a 1-in-entry_sample effect)."""
+        n_all = chunk.shape[0]
+        if n_all == 0:
             return
         n0 = int(base_ids[0])
-        Gs = -(-n_l0 // c)
+        Gs = -(-n_all // c)
         cp = Gs * c
         chunkp = _pad_rows(np.asarray(chunk), cp)
         ids = np.full((cp,), -1, np.int32)
-        ids[:n_l0] = base_ids
+        ids[:n_all] = base_ids
+        eps_p = np.full((cp,), -1, np.int32)
+        eps_p[:n_all] = eps
         S = min(self.opts.batch_size, c)
         (self.base, self.adj_pts, self.spill,
          dropped) = _build.chunk_steps_scanned_prewritten(
@@ -967,6 +996,7 @@ class HNSWBuilder:
             jnp.asarray(chunkp),
             jnp.asarray(ids),
             jnp.asarray(np.full((Gs,), n0, np.int32)),
+            jnp.asarray(eps_p),
             G=Gs,
             cp=c,
             S=S,
