@@ -51,7 +51,10 @@ class IndexOptions:
     # steady-state chunks grouped per device dispatch (_build.
     # chunk_steps_scanned): amortizes the remote backend's per-dispatch
     # donation copy + round trip G-fold. 1 disables grouping.
-    scan_group: int = 8
+    # HNSW_TPU_SCAN_GROUP overrides the default (ops escape hatch: turn
+    # grouping off on the TPU box without code edits).
+    scan_group: int = field(default_factory=lambda: int(
+        __import__("os").environ.get("HNSW_TPU_SCAN_GROUP", 8)))
 
     def __post_init__(self):
         # chunk windows are sliced in fixed strides of batch_size; a
