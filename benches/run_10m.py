@@ -82,7 +82,80 @@ def main():
                         host_warmup=min(50_000, N))
     t0 = time.perf_counter()
     b = HNSWBuilder(opts, metric="hamming")
-    last = [time.perf_counter(), 0]
+
+    # -- crash-resumable build: the relay has died mid-round before
+    # (memory: 2026-08-17), and a 10M build is hours. Every BENCH_CKPT
+    # inserted points the full builder state (graph + levels + spill;
+    # points are re-derivable from the dataset) is fetched and written to
+    # disk; BENCH_RESUME=1 (default) picks it up. 0 disables.
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    ckpt_path = os.path.join(bench_dir, f"ckpt_{N}.npz")
+    ckpt_every = int(os.environ.get("BENCH_CKPT", 4_000_000))
+
+    def save_ckpt(done):
+        tc = time.perf_counter()
+        state = {
+            "n": np.int64(b.n), "ep": np.int64(b.ep),
+            "drops": np.int64(b.total_edge_drops()),
+            "build_elapsed": np.float64(time.perf_counter() - t0),
+            "adj": np.asarray(b.base.adj), "deg": np.asarray(b.base.deg),
+            "spill": np.asarray(b.spill),
+            "level_ns": np.asarray(b.level_ns, np.int64),
+        }
+        for i, lv in enumerate(b.levels):
+            state[f"l{i}_ids"] = np.asarray(lv.node_ids)
+            state[f"l{i}_down"] = np.asarray(lv.down)
+            state[f"l{i}_adj"] = np.asarray(lv.graph.adj)
+            state[f"l{i}_deg"] = np.asarray(lv.graph.deg)
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, **state)
+        os.replace(tmp, ckpt_path)
+        print(f"#   checkpoint @ {done} rows "
+              f"({time.perf_counter()-tc:.0f}s)", file=sys.stderr, flush=True)
+
+    resume = 0
+    if (ckpt_every and os.path.exists(ckpt_path)
+            and os.environ.get("BENCH_RESUME", "1") == "1"):
+        from hnsw_itu_tpu.graph import GraphArrays
+        from hnsw_itu_tpu.models.hnsw import Level
+        from hnsw_itu_tpu.models.nsw import _materialize_inline
+
+        z = np.load(ckpt_path)
+        n0 = int(z["n"])
+        if 0 < n0 <= N:
+            b._ensure_points(pts[:1])  # sets inline_words, allocs buffers
+            buf = np.zeros((N, pts.shape[1]), pts.dtype)
+            buf[:n0] = pts[:n0]
+            b.points = jnp.asarray(buf)
+            del buf
+            b.base = GraphArrays(jnp.asarray(z["adj"]), jnp.asarray(z["deg"]))
+            b.spill = jnp.asarray(z["spill"])
+            b.level_ns = [int(x) for x in z["level_ns"]]
+            b.levels = []
+            for i in range(len(b.level_ns)):
+                b.levels.append(Level(
+                    node_ids=jnp.asarray(z[f"l{i}_ids"]),
+                    down=jnp.asarray(z[f"l{i}_down"]),
+                    graph=GraphArrays(jnp.asarray(z[f"l{i}_adj"]),
+                                      jnp.asarray(z[f"l{i}_deg"])),
+                ))
+            b.ep = int(z["ep"])
+            b.n = n0
+            b.edge_drops = [jnp.int32(int(z["drops"]))]
+            if b.adj_pts is not None:
+                b.adj_pts.delete()  # swap the zeros for the real rows
+                b.adj_pts = _materialize_inline(
+                    b.points, b.base.adj, b.inline_words)
+            # fast-forward the level RNG: every point after the first
+            # consumed one draw
+            for _ in range(n0 - 1):
+                b._random_level()
+            t0 -= float(z["build_elapsed"])  # keep build_s cumulative
+            resume = n0
+            print(f"# resumed from checkpoint at {n0} rows",
+                  file=sys.stderr, flush=True)
+
+    last = [time.perf_counter(), resume, resume]  # [t, last_log, last_ckpt]
 
     def prog(done):
         if done - last[1] >= 500_000 or done >= N:
@@ -93,8 +166,17 @@ def main():
             print(f"#   {done}/{N} ({done*100//N}%) "
                   f"+{(now-last[0]):.0f}s", file=sys.stderr, flush=True)
             last[0], last[1] = now, done
+        if ckpt_every and done - last[2] >= ckpt_every and done < N:
+            save_ckpt(done)
+            last[2] = done
 
-    b.extend_batched(pts, progress=prog)
+    if resume:
+        b.extend_batched(pts[resume:], progress=lambda off: prog(resume + off))
+    else:
+        b.extend_batched(pts, progress=prog)
+    if ckpt_every and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # build done; a stale ckpt must not leak
+        # into the next run
     index = b.build()
     np.asarray(index.base.deg[:1])  # drain
     build_s = time.perf_counter() - t0
