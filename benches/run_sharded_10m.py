@@ -85,12 +85,33 @@ def main():
     print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr, flush=True)
 
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+
+    # -- crash resumability: shards are independent, and only their query
+    # RESULTS feed the final merge — so the checkpoint is just the filled
+    # result columns (~25MB), written after every shard. A restarted run
+    # regenerates the (seeded) data, restores the columns + ground truth,
+    # and continues from the first unbuilt shard.
+    ckpt_path = os.path.join(bench_dir, f"ckpt_sharded_{N}_{SH}.npz")
+    resume_ok = (os.environ.get("BENCH_RESUME", "1") == "1"
+                 and os.path.exists(ckpt_path))
+    z = np.load(ckpt_path) if resume_ok else None
+    if z is not None and int(z["ef"]) != EF:
+        print(f"# ignoring checkpoint (ef {int(z['ef'])} != {EF})",
+              file=sys.stderr, flush=True)
+        z = None
+
     from hnsw_itu_tpu import native
 
-    t0 = time.perf_counter()
-    _, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
-    print(f"# ground truth ({NGT} queries, host): "
-          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    if z is not None:
+        gt_ids = z["gt_ids"]
+        print(f"# resumed: {int(z['s_done'])}/{SH} shards from checkpoint",
+              file=sys.stderr, flush=True)
+    else:
+        t0 = time.perf_counter()
+        _, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
+        print(f"# ground truth ({NGT} queries, host): "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     qs_dev = jnp.asarray(qs)
     opts = IndexOptions(ef_construction=96, connections=24,
@@ -99,15 +120,23 @@ def main():
 
     # per-shard results, merged exactly at the end: distances are the
     # global tie-break key, ids carry the shard offset back to global
-    all_d = np.full((NQ, SH * K), np.iinfo(np.int32).max, np.int64)
-    all_i = np.full((NQ, SH * K), -1, np.int64)
-    build_times, query_times = [], []
+    if z is not None:
+        s_start = int(z["s_done"])
+        all_d, all_i = z["all_d"], z["all_i"]
+        build_times = [float(x) for x in z["build_times"]]
+        query_times = [float(x) for x in z["query_times"]]
+        paths = str(z["paths"])
+    else:
+        s_start = 0
+        all_d = np.full((NQ, SH * K), np.iinfo(np.int32).max, np.int64)
+        all_i = np.full((NQ, SH * K), -1, np.int64)
+        build_times, query_times = [], []
+        paths = "xla"
     out_name = ("results_sharded_10m.json" if N >= 1_000_000
                 else "results_sharded_smoke.json")
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            out_name)
+    out_path = os.path.join(bench_dir, out_name)
 
-    for s in range(SH):
+    for s in range(s_start, SH):
         lo = s * PER
         shard_pts = pts[lo : lo + PER]
         t0 = time.perf_counter()
@@ -148,6 +177,15 @@ def main():
             json.dump({"status": f"shard {s+1}/{SH}",
                        "build_times": [round(x, 1) for x in build_times]},
                       f)
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, s_done=np.int64(s + 1), ef=np.int64(EF),
+                 all_d=all_d, all_i=all_i, gt_ids=gt_ids,
+                 build_times=np.asarray(build_times),
+                 query_times=np.asarray(query_times), paths=paths)
+        os.replace(tmp, ckpt_path)
+
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # all shards done; don't leak into a rerun
 
     # exact merge: per-query sort of SH*K (distance, id) pairs
     order = np.lexsort((all_i, all_d), axis=1)[:, :K]
