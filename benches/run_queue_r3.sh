@@ -28,6 +28,7 @@ stage() {
   fi
 }
 
+stage donation python benches/validate_donation.py
 stage 2m    python benches/run_10m.py 2000000
 stage shard python benches/run_sharded_10m.py
 stage 10m   python benches/run_10m.py
