@@ -91,13 +91,20 @@ def main():
     bench_dir = os.path.dirname(os.path.abspath(__file__))
     ckpt_path = os.path.join(bench_dir, f"ckpt_{N}.npz")
     ckpt_every = int(os.environ.get("BENCH_CKPT", 4_000_000))
+    # a resumed graph must continue under the SAME build config — mixed
+    # configs would be reported as one build
+    cfg = np.asarray([bs, opts.ef_construction, opts.connections,
+                      opts.max_connections, opts.scan_group,
+                      opts.host_warmup], np.int64)
+    ckpt_cost = [0.0]  # fetch+write time, excluded from the build number
 
     def save_ckpt(done):
         tc = time.perf_counter()
         state = {
-            "n": np.int64(b.n), "ep": np.int64(b.ep),
+            "n": np.int64(b.n), "ep": np.int64(b.ep), "cfg": cfg,
             "drops": np.int64(b.total_edge_drops()),
-            "build_elapsed": np.float64(time.perf_counter() - t0),
+            "build_elapsed": np.float64(
+                time.perf_counter() - t0 - ckpt_cost[0]),
             "adj": np.asarray(b.base.adj), "deg": np.asarray(b.base.deg),
             "spill": np.asarray(b.spill),
             "level_ns": np.asarray(b.level_ns, np.int64),
@@ -110,8 +117,10 @@ def main():
         tmp = ckpt_path + ".tmp.npz"
         np.savez(tmp, **state)
         os.replace(tmp, ckpt_path)
-        print(f"#   checkpoint @ {done} rows "
-              f"({time.perf_counter()-tc:.0f}s)", file=sys.stderr, flush=True)
+        dt = time.perf_counter() - tc
+        ckpt_cost[0] += dt
+        print(f"#   checkpoint @ {done} rows ({dt:.0f}s)",
+              file=sys.stderr, flush=True)
 
     resume = 0
     if (ckpt_every and os.path.exists(ckpt_path)
@@ -122,6 +131,10 @@ def main():
 
         z = np.load(ckpt_path)
         n0 = int(z["n"])
+        if "cfg" not in z or not np.array_equal(z["cfg"], cfg):
+            print("# ignoring checkpoint (build config changed)",
+                  file=sys.stderr, flush=True)
+            n0 = 0
         if 0 < n0 <= N:
             b._ensure_points(pts[:1])  # sets inline_words, allocs buffers
             buf = np.zeros((N, pts.shape[1]), pts.dtype)
@@ -174,12 +187,14 @@ def main():
         b.extend_batched(pts[resume:], progress=lambda off: prog(resume + off))
     else:
         b.extend_batched(pts, progress=prog)
-    if ckpt_every and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)  # build done; a stale ckpt must not leak
-        # into the next run
+    if ckpt_every and resume < N:
+        # final checkpoint (n=N): a crash in build()/enable_inline/the
+        # query phases must not cost the whole build — resume restores
+        # the finished graph and skips straight past extend
+        save_ckpt(N)
     index = b.build()
     np.asarray(index.base.deg[:1])  # drain
-    build_s = time.perf_counter() - t0
+    build_s = time.perf_counter() - t0 - ckpt_cost[0]
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
@@ -275,6 +290,9 @@ def main():
     print(json.dumps(best_rec))
     with open(out_path, "w") as f:
         json.dump(best_rec, f, indent=1)
+    if ckpt_every and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # everything recorded; a stale ckpt must
+        # not leak into the next run
 
 
 if __name__ == "__main__":

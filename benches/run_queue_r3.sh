@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-3 TPU run queue — execute when the tunnel relay is back.
 # Priority order (see docs/ROADMAP.md):
+#   0. donation-aliasing probe (~2 min; its verdict decides whether the
+#      single-chip 10M build keeps its inline rows — docs/SCALE.md)
 #   1. 2M validation (new W=32/mw=31 policy + exact attribution + hop)
 #   2. 16-shard exact 10.12M flagship
-#   3. single-chip 10M (mini + hop sweep)
+#   3. single-chip 10M (mini + hop sweep; resumable via BENCH_CKPT)
 #   4. fresh 100k headline (bench.py defaults)
 # Each stage logs to /tmp/q_<stage>.log. Stages are INDEPENDENT: a failed
 # stage (e.g. the mini kernel's first hardware run hitting a Mosaic

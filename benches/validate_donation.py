@@ -44,7 +44,7 @@ def main():
         return x.at[0, 0].add(np.uint32(1))
 
     results = {}
-    for gb in (2, 4, 6, 8, 10, 12, 13, 14):
+    for gb in (2, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14):
         rows = int(gb * 1e9) // (1024 * 4)
         try:
             t0 = time.perf_counter()
@@ -66,8 +66,18 @@ def main():
 
     largest = max((g for g, r in results.items() if r.startswith("ok")),
                   default=0)
-    verdict = ("aliases (copy-free donation)" if largest >= 12 else
-               "copies donated buffers" if largest else "unknown")
+    failed = [g for g, r in results.items() if r.startswith("FAIL")]
+    # HBM is 15.75 GB usable: a SUCCESSFUL donate-mutate at X where
+    # 2X > 15.75 (X >= 8) is impossible under copying -> proves aliasing,
+    # regardless of where larger allocations fail (session overhead /
+    # fragmentation can sink a 12-14 GB zeros on its own). Copying is
+    # only indicated by failure at sizes an aliasing runtime would fit.
+    if largest >= 8:
+        verdict = "aliases (copy-free donation)"
+    elif failed and failed[0] <= 12:
+        verdict = "copies donated buffers"
+    else:
+        verdict = "unknown"
     print(f'{{"probe": "donation", "largest_ok_gb": {largest}, '
           f'"verdict": "{verdict}"}}')
 

@@ -785,6 +785,28 @@ def write_points(points, chunk, n):
     return points.at[idx, col].set(chunk, mode="drop")
 
 
+def scan_group_at(sched, i: int, max_chunk: int, scan_group: int,
+                  entry_ready: bool = True) -> int:
+    """Group size for a scanned multi-chunk dispatch starting at schedule
+    position ``i``: ``scan_group`` consecutive STEADY-STATE chunks (full
+    ``max_chunk`` rows, and — for builders using MXU sampled entries —
+    the sampled-entry regime already reached) or nothing. Full groups
+    only, so the ramp-up adds no new program shapes (each novel shape is
+    a fresh remote compile); leftovers run through the per-chunk path.
+
+    The single gating point for NSWBuilder, HNSWBuilder and
+    ShardedNSW.build — their scanned paths must engage identically."""
+    if (
+        scan_group <= 1
+        or not entry_ready
+        or sched[i] != max_chunk
+        or i + scan_group > len(sched)
+        or any(sched[i + j] != max_chunk for j in range(1, scan_group))
+    ):
+        return 1
+    return scan_group
+
+
 def chunk_schedule(start_n: int, total: int, *, min_chunk=8, max_chunk=4096, growth_div=8):
     """Progressive chunk sizes (powers of two): the TPU replacement for the
     reference's 50k sequential warmup + fixed threads*32 chunks

@@ -975,16 +975,16 @@ class HNSWBuilder:
         for every sub-chunk (conservative: later sub-chunks don't sample
         the group's own rows — a 1-in-entry_sample effect)."""
         n_all = chunk.shape[0]
-        if n_all == 0:
-            return
+        # the level partition + deferred parts cover every point of the
+        # G-chunk window exactly once — a partition bug must fail loudly,
+        # not get silently padded over
+        if n_all % c != 0:
+            raise AssertionError(
+                f"scanned base insert expects whole sub-chunks: {n_all} "
+                f"rows vs sub-chunk size {c}"
+            )
         n0 = int(base_ids[0])
-        Gs = -(-n_all // c)
-        cp = Gs * c
-        chunkp = _pad_rows(np.asarray(chunk), cp)
-        ids = np.full((cp,), -1, np.int32)
-        ids[:n_all] = base_ids
-        eps_p = np.full((cp,), -1, np.int32)
-        eps_p[:n_all] = eps
+        Gs = n_all // c
         S = min(self.opts.batch_size, c)
         (self.base, self.adj_pts, self.spill,
          dropped) = _build.chunk_steps_scanned_prewritten(
@@ -993,10 +993,10 @@ class HNSWBuilder:
             self.base,
             self.adj_pts,
             self.spill,
-            jnp.asarray(chunkp),
-            jnp.asarray(ids),
+            jnp.asarray(np.asarray(chunk)),
+            jnp.asarray(np.asarray(base_ids, np.int32)),
             jnp.asarray(np.full((Gs,), n0, np.int32)),
-            jnp.asarray(eps_p),
+            jnp.asarray(np.asarray(eps, np.int32)),
             G=Gs,
             cp=c,
             S=S,

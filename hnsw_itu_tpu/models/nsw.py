@@ -654,23 +654,13 @@ class NSWBuilder:
                 progress(off)
 
     def _scan_group(self, sched, i: int, max_chunk: int) -> int:
-        """Group size for the scanned multi-chunk dispatch starting at
-        schedule position i: scan_group consecutive STEADY-STATE chunks
-        (full max_chunk rows, sampled-entry regime) or nothing — one extra
-        program shape total, leftovers run through the per-chunk path
-        (ramp-up chunk sizes vary and each novel shape is a fresh remote
-        compile)."""
-        g = self.opts.scan_group
-        if (
-            g <= 1
-            or sched[i] != max_chunk
-            or self.opts.entry_sample <= 0
-            or self.n <= self.opts.entry_sample
-            or i + g > len(sched)
-            or any(sched[i + j] != max_chunk for j in range(1, g))
-        ):
-            return 1
-        return g
+        """Scanned-dispatch group size at schedule position i
+        (_build.scan_group_at; also used unbound by HNSWBuilder)."""
+        return _build.scan_group_at(
+            sched, i, max_chunk, self.opts.scan_group,
+            entry_ready=(self.opts.entry_sample > 0
+                         and self.n > self.opts.entry_sample),
+        )
 
     def _insert_chunks_scanned(self, chunk: np.ndarray, G: int, c: int):
         """G full equal chunks in ONE dispatch (_build.chunk_steps_scanned)

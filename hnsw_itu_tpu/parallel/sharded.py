@@ -457,17 +457,10 @@ class ShardedNSW:
         i = 0
         while i < len(sched):
             c = sched[i]
-            # steady state: scan_group chunks per dispatch (the mesh
-            # analogue of NSWBuilder._scan_group's gating — full max_chunk
-            # runs only, so ramp-up adds no program shapes)
-            G = opts.scan_group
-            if (
-                G <= 1
-                or c != opts.batch_size
-                or i + G > len(sched)
-                or any(sched[i + j] != c for j in range(1, G))
-            ):
-                G = 1
+            # steady state: scan_group chunks per dispatch (shared gating;
+            # this path uses fixed per-shard entries, so no entry gate)
+            G = _build.scan_group_at(sched, i, opts.batch_size,
+                                     opts.scan_group)
             if G > 1:
                 points_s, adj_s, deg_s, n_s = sharded_build_steps_scanned(
                     points_s, adj_s, deg_s, ep_s, n_s, ns_s,
