@@ -118,3 +118,61 @@ def test_scanned_gating_ramp_only():
     assert not called  # n=1500 never reaches a full group of 256-chunks
     nsw = b.build()
     assert nsw.n == 1500
+
+
+def test_scanned_eps0_supplied_entries():
+    """chunk_steps_scanned_prewritten must START searches at supplied
+    eps0 rows (HNSW's descent-chained upper-level points) and fall back
+    to the sampled entry for -1 rows. Two far-apart clusters + a one-step
+    search budget make the entry choice observable in the adjacency."""
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.graph import make_graph, set_rows
+    from hnsw_itu_tpu.models import _build
+
+    words = 8
+    # cluster A = rows 0..3 (zeros-ish), cluster B = rows 4..7 (ones)
+    pts = np.zeros((16, words), np.uint32)
+    pts[4:8] = 0xFFFFFFFF
+    # two new points that BELONG to B: rows 8 and 9
+    pts[8:10] = 0xFFFFFFFF
+    pts[8, 0] ^= 1  # tiny perturbation
+    pts[9, 0] ^= 3
+    points = jnp.asarray(pts)
+
+    def build_graph():
+        g = make_graph(16, 4)
+        # A and B are internally connected rings with NO cross edges
+        rows = np.full((8, 4), -1, np.int32)
+        for v in range(4):
+            rows[v, 0] = (v + 1) % 4
+            rows[v + 4, 0] = 4 + (v + 1) % 4
+        return set_rows(g, jnp.arange(8, dtype=jnp.int32), jnp.asarray(rows))
+
+    node_map = jnp.arange(16, dtype=jnp.int32)
+    chunks = points[8:10]
+    new_ids = jnp.asarray([8, 9], jnp.int32)
+    n0s = jnp.asarray([8], jnp.int32)
+
+    def run(eps0):
+        # fresh graph AND spill per call: both are donated by the jit
+        g, _, _, _ = _build.chunk_steps_scanned_prewritten(
+            points, node_map, build_graph(), None, _build.make_spill(16),
+            chunks, new_ids, n0s,
+            None if eps0 is None else jnp.asarray(eps0, jnp.int32),
+            G=1, cp=2, S=2, efc=2, m=2, metric_name="hamming",
+            max_steps=1, entry_sample=1, prune_budget=4,
+        )
+        return np.asarray(g.adj[8:10])
+
+    # entry_sample=1 samples only row 0 (cluster A); max_steps=1 keeps the
+    # beam inside the entry's cluster -> links land in A
+    adj_default = run(None)
+    assert set(adj_default.ravel()) - {-1} <= set(range(4)), adj_default
+    # supplied entries in cluster B -> links land in B
+    adj_supplied = run([4, 5])
+    assert set(adj_supplied.ravel()) - {-1} <= set(range(4, 8)), adj_supplied
+    # mixed: row 0 supplied (B), row 1 sampled (A)
+    adj_mixed = run([4, -1])
+    assert set(adj_mixed[0]) - {-1} <= set(range(4, 8)), adj_mixed
+    assert set(adj_mixed[1]) - {-1} <= set(range(4)), adj_mixed
