@@ -35,6 +35,9 @@ stage 2m    python benches/run_10m.py 2000000
 stage shard python benches/run_sharded_10m.py
 stage 10m   python benches/run_10m.py
 stage bench python bench.py
+# 1M refresh: the committed 77.3k QPS predates the packed kernel, the
+# entry sort, and the scanned build (round-2 weak item)
+stage bench1m env BENCH_N=1000000 python bench.py
 
 if [ -n "$FAILED" ]; then
   echo "=== queue complete; FAILED stages:$FAILED ==="
