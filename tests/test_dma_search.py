@@ -93,7 +93,9 @@ def test_dma_matches_xla_two_key(w, ef):
 
 @pytest.mark.parametrize("packed", ["never", "always"])
 @pytest.mark.parametrize("w,ef,mw",
-                         [(64, 48, 3), (64, 96, 7), (32, 32, 3), (32, 48, 31)])
+                         [(64, 48, 3), (64, 96, 7), (32, 32, 3), (32, 48, 31),
+                          (32, 64, 31)])  # <- the 2M flagship config at the
+# packed-mode ef boundary (packed pairs engage only for ef <= 64)
 def test_mini_matches_xla_on_prefix(w, ef, mw, packed):
     """The minisketch kernel must equal the XLA beam path run on the
     TRUNCATED sketches (same prefix distances, ids, visited, steps) —
