@@ -14,14 +14,14 @@ from hnsw_itu_tpu.models import Bruteforce, IndexOptions, NSWBuilder
 from hnsw_itu_tpu.models.hnsw import HNSWBuilder
 
 
-def _opts(n, scan_group, batch_size=16):
+def _opts(n, scan_group, batch_size=16, connections=8, max_connections=16):
     # batch_size=16 -> max_chunk=256; schedule reaches steady state at
     # n=2048, leaving 8 full 256-chunks for n=4096 (two scan groups of 4)
     return IndexOptions(
         host_warmup=0,
         ef_construction=32,
-        connections=8,
-        max_connections=16,
+        connections=connections,
+        max_connections=max_connections,
         size=n,
         batch_size=batch_size,
         scan_group=scan_group,
@@ -58,20 +58,29 @@ def clustered():
     return pts, qs
 
 
-def test_scanned_nsw_bitexact(data):
+@pytest.mark.parametrize(
+    "m,M",
+    [(8, 16),   # the plain config
+     (14, 16)], # m close to W: heavy reverse-edge overflow -> the spill
+                # buffer and prune budget churn every chunk, stressing
+                # that the grouped carry evolves them identically
+)
+def test_scanned_nsw_bitexact(data, m, M):
     pts, _ = data
     n = pts.shape[0]
 
     graphs = []
     for g in (1, 4):
-        b = NSWBuilder(_opts(n, g), metric="hamming")
+        b = NSWBuilder(_opts(n, g, connections=m, max_connections=M),
+                       metric="hamming")
         b.extend_batched(pts)
         nsw = b.build()
         graphs.append((np.asarray(nsw.graph.adj), np.asarray(nsw.graph.deg),
-                       nsw.ep, nsw.n))
-    (adj1, deg1, ep1, n1), (adj4, deg4, ep4, n4) = graphs
+                       nsw.ep, nsw.n, b.total_edge_drops()))
+    (adj1, deg1, ep1, n1, dr1), (adj4, deg4, ep4, n4, dr4) = graphs
     assert n1 == n4 == n
     assert ep1 == ep4
+    assert dr1 == dr4
     np.testing.assert_array_equal(deg1, deg4)
     np.testing.assert_array_equal(adj1, adj4)
 
