@@ -46,8 +46,11 @@ class IndexOptions:
     entry_sample: int = 1024
     # native-host warmup: first points inserted sequentially on the CPU with
     # exact reference semantics before batched TPU chunks take over — the
-    # analogue of the reference's 50k sequential warmup (nsw.rs:234-235)
-    host_warmup: int = 50_000
+    # analogue of the reference's 50k sequential warmup (nsw.rs:234-235).
+    # HNSW_TPU_HOST_WARMUP overrides (ops escape hatch; the CLI exposes no
+    # warmup flag, mirroring the reference's fixed 50k)
+    host_warmup: int = field(default_factory=lambda: int(
+        __import__("os").environ.get("HNSW_TPU_HOST_WARMUP", 50_000)))
     # steady-state chunks grouped per device dispatch (_build.
     # chunk_steps_scanned): amortizes the remote backend's per-dispatch
     # donation copy + round trip G-fold. 1 disables grouping.
