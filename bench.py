@@ -44,19 +44,13 @@ def main():
     from hnsw_itu_tpu.models.hnsw import HNSWBuilder
     from hnsw_itu_tpu.utils import recall_at_k
 
-    # Clustered sketches (structured like real LAION hamming data: in-cluster
-    # distance ~150 bits, background ~512): C centers, each point/query is a
-    # center with every bit flipped at p=0.08.
-    rng = np.random.default_rng(0)
-    C = max(16, N // 128)
+    # Multi-scale clustered sketches (the navigable LAION proxy — see
+    # hnsw_itu_tpu/utils/synth.py for the round-3 flat-vs-hierarchical
+    # measurement that forced this): in-cluster distance ~151 bits,
+    # leaf count N//128.
+    from hnsw_itu_tpu.utils.synth import make_dataset
 
-    def flip_mask(shape, p):
-        bits = rng.random((shape[0], 1024)) < p
-        return np.packbits(bits, axis=-1).view(np.uint32)
-
-    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
-    pts = centers[rng.integers(0, C, size=N)] ^ flip_mask((N,), 0.08)
-    qs = centers[rng.integers(0, C, size=NQ)] ^ flip_mask((NQ,), 0.08)
+    pts, qs = make_dataset(0, N, NQ)
 
     # establish the device session before timing anything: on the remote
     # tunnel, backend init + the first host->device DMA cost 1-3 minutes

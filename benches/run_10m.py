@@ -43,27 +43,13 @@ def main():
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     NQ, K = 10_000, 10
-    rng = np.random.default_rng(0)
-    C = max(16, N // 128)
 
     t_start = time.perf_counter()
-    # clustered sketches, generated in 1M-row chunks (10M x 1024 random
-    # bits at once would need 10GB of scratch)
-    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+    # multi-scale clustered sketches (navigable LAION proxy — see
+    # hnsw_itu_tpu/utils/synth.py), generated in 1M-row chunks
+    from hnsw_itu_tpu.utils.synth import make_dataset
 
-    def make(n):
-        out = np.empty((n, 32), np.uint32)
-        for s in range(0, n, 1_000_000):
-            e = min(s + 1_000_000, n)
-            m = e - s
-            flips = np.packbits(
-                rng.random((m, 1024), dtype=np.float32) < 0.08, axis=-1
-            ).view(np.uint32)
-            out[s:e] = centers[rng.integers(0, C, size=m)] ^ flips
-        return out
-
-    pts = make(N)
-    qs = make(NQ)
+    pts, qs = make_dataset(0, N, NQ)
     print(f"# data generated at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr, flush=True)
 

@@ -59,25 +59,14 @@ def main():
     PER = N // SH
     NQ, K, NGT = 10_000, 10, 2048
     EF = int(os.environ.get("BENCH_EF", 48))
-    rng = np.random.default_rng(0)
-    C = max(16, N // 128)
 
     t_start = time.perf_counter()
-    centers = rng.integers(0, 2**32, size=(C, 32), dtype=np.uint32)
+    # multi-scale clustered sketches (navigable LAION proxy; the flat
+    # generator made per-shard navigation structurally impossible at this
+    # leaf density — see hnsw_itu_tpu/utils/synth.py)
+    from hnsw_itu_tpu.utils.synth import make_dataset
 
-    def make(n):
-        out = np.empty((n, 32), np.uint32)
-        for s in range(0, n, 1_000_000):
-            e = min(s + 1_000_000, n)
-            m = e - s
-            flips = np.packbits(
-                rng.random((m, 1024), dtype=np.float32) < 0.08, axis=-1
-            ).view(np.uint32)
-            out[s:e] = centers[rng.integers(0, C, size=m)] ^ flips
-        return out
-
-    pts = make(N)
-    qs = make(NQ)
+    pts, qs = make_dataset(0, N, NQ)
     print(f"# data generated at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr, flush=True)
 

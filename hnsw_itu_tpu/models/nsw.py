@@ -574,11 +574,14 @@ class NSWBuilder:
         with an exact re-score before select — see _build.search_select),
         else 0 (no inline buffer; searches pay random gathers)."""
         words = int(np.prod(sample.shape[1:]))
-        # the (remote) runtime does not alias donated buffers, so each
-        # mutation transiently holds TWO generations of adj_pts: the build
-        # limit is half the query-side one
+        # the runtime ALIASES donated buffers (benches/validate_donation.py
+        # round-3 probe: 14GB donated update-in-place ran copy-free), so
+        # adj_pts mutations do NOT transiently hold two generations and the
+        # build budget matches the query-side one. Build quality is very
+        # sensitive to this width: at 2M, the old 6e9 budget truncated to
+        # mw=11 (352-bit estimates) and exact-path recall fell 0.89->0.60.
         budget = int(float(__import__("os").environ.get(
-            "HNSW_TPU_INLINE_BUILD_BYTES", 6e9)))
+            "HNSW_TPU_INLINE_BUILD_BYTES", 1.1e10)))
         per_word = (
             self.opts.size * self.opts.max_connections * sample.dtype.itemsize
         )
