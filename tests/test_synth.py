@@ -1,0 +1,62 @@
+"""Tests for the multi-scale synthetic sketch generator (utils/synth.py).
+
+The generator is the benchmark-data contract: every headline number
+(bench.py, run_10m.py, run_sharded_10m.py) is measured on it, so its
+structure — determinism, the ~151-bit sibling scale, and the coarse-to-
+fine distance gradient that makes the data navigable (the round-3
+flat-vs-hierarchical finding) — is load-bearing and pinned here.
+"""
+
+import numpy as np
+
+from hnsw_itu_tpu.utils.synth import WORDS, make_dataset, make_leaves, make_points
+
+
+def _hamming(a, b):
+    x = np.unpackbits((a ^ b).view(np.uint8), axis=-1)
+    return x.sum(-1)
+
+
+def test_shapes_dtype_determinism():
+    pts, qs = make_dataset(7, 300, 40, n_leaf=16)
+    assert pts.shape == (300, WORDS) and qs.shape == (40, WORDS)
+    assert pts.dtype == np.uint32 and qs.dtype == np.uint32
+    pts2, qs2 = make_dataset(7, 300, 40, n_leaf=16)
+    assert np.array_equal(pts, pts2) and np.array_equal(qs, qs2)
+    pts3, _ = make_dataset(8, 300, 40, n_leaf=16)
+    assert not np.array_equal(pts, pts3)
+
+
+def test_sibling_scale():
+    # two points of the same leaf differ by two independent p=.08 flip
+    # masks: expected distance 2p(1-p)*1024 ~ 151 bits
+    rng = np.random.default_rng(0)
+    leaf = make_leaves(rng, 1)
+    a = make_points(rng, leaf, 200)
+    b = make_points(rng, leaf, 200)
+    d = _hamming(a, b)
+    assert 120 < d.mean() < 185, d.mean()
+
+
+def test_multiscale_gradient():
+    # navigability = a monotone distance gradient: sibling (same leaf)
+    # < same-mid cousin < unrelated (different root). Regenerate the
+    # hierarchy by hand with one rng per level so group membership is
+    # controlled.
+    rng = np.random.default_rng(3)
+    leaves = make_leaves(rng, 4096)  # leaf i descends from mid i%... (random)
+    pts = make_points(rng, leaves[:1], 100)
+    sib = _hamming(pts[:50], pts[50:])
+    far = _hamming(pts[:50], make_points(rng, leaves[-1:], 50))
+    # unrelated leaves sit near the 512-bit background; siblings ~151
+    assert sib.mean() < 200 < 350 < far.mean(), (sib.mean(), far.mean())
+
+
+def test_queries_share_clusters_with_points():
+    # ground truth must be non-trivial: each query's nearest point should
+    # be far below the 512-bit background (same-leaf neighbors exist)
+    pts, qs = make_dataset(0, 2000, 32, n_leaf=16)
+    best = np.array([
+        _hamming(np.broadcast_to(q, pts.shape), pts).min() for q in qs
+    ])
+    assert best.mean() < 250, best.mean()
