@@ -63,8 +63,13 @@ def main():
     # staleness ratio identical, and 16k chunks quarter the per-dispatch
     # overhead that dominates past 2M (BENCH_BATCH to override)
     bs = int(os.environ.get("BENCH_BATCH", 1024 if N > 4_000_000 else 256))
-    opts = IndexOptions(ef_construction=96, connections=24,
-                        max_connections=64, size=N, batch_size=bs,
+    # BENCH_W: max degree. W=32 halves per-expansion work AND compiles
+    # copy-free at 10M (docs/SCALE.md layout audit), letting the inline
+    # build buffer keep 256-bit steering estimates (mw=8) on one chip.
+    W = int(os.environ.get("BENCH_W", 64))
+    m = int(os.environ.get("BENCH_M", 24))
+    opts = IndexOptions(ef_construction=96, connections=m,
+                        max_connections=W, size=N, batch_size=bs,
                         host_warmup=min(50_000, N))
     t0 = time.perf_counter()
     b = HNSWBuilder(opts, metric="hamming")

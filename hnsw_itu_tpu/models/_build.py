@@ -551,13 +551,14 @@ def chunk_steps_scanned(
     fori_loop whose body is a whole ``chunk_step`` (write + sampled entry
     + window map + mutation), state carried in place.
 
-    Per-dispatch costs this amortizes G-fold on the remote backend:
-      * the tunnel round trip (a 10M build at max_chunk=16k is ~600
-        steady-state chunk dispatches);
-      * the donation copy — the remote runtime does NOT alias donated
-        buffers, so every chunk_step dispatch transiently copies graph
-        (+ the multi-GB inline adj_pts). XLA's while-loop carries ARE
-        aliased in place, so a group pays one copy instead of G.
+    Per-dispatch cost this amortizes G-fold on the remote backend: the
+    tunnel round trip (a 10M build at max_chunk=16k is ~600 steady-state
+    chunk dispatches). Donated arguments DO alias in place (round-3
+    probe, benches/validate_donation.py), but the scanned program
+    additionally materializes an HLO-temp COPY of the inline adj_pts in
+    the gather-preferred row-contiguous layout (measured 7.63GB at 1M
+    full-inline rows) — callers must gate G=1 when live buffers + that
+    copy exceed HBM (NSWBuilder._scanned_fits).
 
     Semantics: bit-identical to G sequential ``chunk_step`` calls with
     ``use_entry=True`` and full chunks — sub-chunk i's searches see

@@ -476,10 +476,23 @@ class HNSWBuilder:
         return int(-math.log(u) * self._ml)
 
     def _level_capacity(self, l: int) -> int:
+        """Initial level-l array capacity: 2x the expected occupancy
+        (size/m^(l+1)), pow2-rounded — 2.5-4x actual in practice. Level
+        counts concentrate tightly (relative sigma ~ (size/m)^-1/2), and
+        _grow_level doubles on demand; the old 8x factor cost 1.1GB of
+        dead level-0 rows at 10M, memory the inline build buffer needs."""
         m = max(2, self.opts.connections)
         expect = self.opts.size * (m ** -(l + 1))
-        cap = max(64, int(8 * expect))
+        cap = max(64, int(2 * expect))
         return 1 << (cap - 1).bit_length()
+
+    def _extra_fixed_bytes(self) -> int:
+        """Level arrays ride alongside the donated base-build set — count
+        them in the inline-budget fixed set (NSWBuilder._inline_build_words).
+        Sum of per-level (adj + deg + node_ids + down) at initial capacity."""
+        per_row = self.opts.max_connections * 4 + 12
+        return sum(self._level_capacity(l) * per_row
+                   for l in range(self.MAX_HOST_LEVELS))
 
     def _grow_level(self, l: int, need: int):
         lv = self.levels[l]
@@ -654,7 +667,12 @@ class HNSWBuilder:
             lvl_down=lvl_down, lvl_adj=lvl_adj, lvl_deg=lvl_deg,
             level_ns=level_ns, ep=0,
         )
+        # free the pre-warmup zero buffers first — holding old+new doubles
+        # peak HBM and OOMs large builds (see NSWBuilder._host_warmup)
+        self.points.delete()
         self.points = jnp.asarray(pts_np)
+        self.base.adj.delete()
+        self.base.deg.delete()
         self.base = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
         off = 0
         for l in range(ml):
@@ -673,6 +691,7 @@ class HNSWBuilder:
         if self.adj_pts is not None:
             from .nsw import _materialize_inline
 
+            self.adj_pts.delete()
             self.adj_pts = _materialize_inline(
                 self.points, self.base.adj, self.inline_words
             )

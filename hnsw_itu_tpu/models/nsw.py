@@ -11,6 +11,7 @@ with a progressive chunk schedule replacing the 50k sequential warmup.
 from __future__ import annotations
 
 import functools
+import math
 import os
 from dataclasses import dataclass
 
@@ -120,13 +121,38 @@ def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
 
-def _inline_query_fits(points, adj) -> bool:
+_TPU_HBM_BYTES = 15.75e9  # one v5e chip (docs/SCALE.md donation probe)
+
+
+def _inline_budget(env_var: str, fixed_bytes: int) -> int:
+    """Byte budget for an inline/fused/mini table: the env knob, capped on
+    real hardware so the fixed live buffers (points/adjacency/spill/levels)
+    + the table + a margin for the runtime reservation (~0.26GB) and
+    dispatch temporaries (~0.7GB measured at 2M shapes) fit the chip.
+    Without the cap a 10M build's donated set (4.5GB fixed + the table)
+    exceeds HBM and OOMs mid-build (observed round 3)."""
     import os
 
+    budget = int(float(os.environ.get(env_var, 1.1e10)))
+    if jax.default_backend() in ("tpu", "axon"):
+        hbm = float(os.environ.get("HNSW_TPU_HBM_BYTES", _TPU_HBM_BYTES))
+        budget = min(budget, int(hbm - 1.6e9 - fixed_bytes))
+    return budget
+
+
+def _query_fixed_bytes(points, adj) -> int:
+    """Live non-table bytes at query time: the point and adjacency arrays.
+    Shape/dtype arithmetic (not .nbytes): the sharded path passes
+    ShapeDtypeStructs when sizing per-shard tables."""
+    return (int(np.prod(points.shape)) * points.dtype.itemsize
+            + int(np.prod(adj.shape)) * adj.dtype.itemsize)
+
+
+def _inline_query_fits(points, adj) -> bool:
     words = int(np.prod(points.shape[1:]))
     need = adj.shape[0] * adj.shape[1] * words * points.dtype.itemsize
-    return need <= int(float(os.environ.get(
-        "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+    return need <= _inline_budget(
+        "HNSW_TPU_INLINE_QUERY_BYTES", _query_fixed_bytes(points, adj))
 
 
 def _fused_query_eligible(points, adj, metric) -> bool:
@@ -165,8 +191,8 @@ def _fused_query_eligible(points, adj, metric) -> bool:
     # multiple of 8 for exact (8, 128) tiling) plus the packed-id plane
     need = cap * (fused_subrows(W, words) + 1 / (LANES // W)) * LANES \
         * points.dtype.itemsize
-    return need <= int(float(os.environ.get(
-        "HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+    return need <= _inline_budget(
+        "HNSW_TPU_INLINE_QUERY_BYTES", _query_fixed_bytes(points, adj))
 
 
 @functools.partial(
@@ -257,7 +283,8 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
         Wfull = fused_width_(adj.shape[1])
     except ValueError:
         return 0, 0
-    budget = int(float(os.environ.get("HNSW_TPU_INLINE_QUERY_BYTES", 1.1e10)))
+    budget = _inline_budget(
+        "HNSW_TPU_INLINE_QUERY_BYTES", _query_fixed_bytes(points, adj))
     best = (0, 0)  # (mw, W), lexicographic
     for W in (64, 32):
         if W > Wfull:
@@ -580,14 +607,38 @@ class NSWBuilder:
         # build budget matches the query-side one. Build quality is very
         # sensitive to this width: at 2M, the old 6e9 budget truncated to
         # mw=11 (352-bit estimates) and exact-path recall fell 0.89->0.60.
-        budget = int(float(__import__("os").environ.get(
-            "HNSW_TPU_INLINE_BUILD_BYTES", 1.1e10)))
+        # The donated fixed set rides alongside the inline rows, so cap the
+        # budget to what the chip can actually hold (points + adj + deg +
+        # spill + temporaries margin).
+        fixed = self.opts.size * (
+            words * sample.dtype.itemsize
+            + self.opts.max_connections * 4  # adj rows
+            + 4                              # deg
+            + 32                             # spill (8 x int32 / row)
+        )
+        # HNSW: level arrays ride alongside (HNSWBuilder._extra_fixed_bytes)
+        fixed += getattr(self, "_extra_fixed_bytes", lambda: 0)()
+        budget = _inline_budget("HNSW_TPU_INLINE_BUILD_BYTES", fixed)
         per_word = (
             self.opts.size * self.opts.max_connections * sample.dtype.itemsize
         )
         if words * per_word <= budget:
             return words
         mw = int(budget // per_word)
+        if jax.default_backend() in ("tpu", "axon"):
+            # UNALIGNED flat widths pay a whole-table re-layout copy per
+            # chunk dispatch (the search gather wants row-major tiled,
+            # padding W*mw up to the 128-element lane tile — measured
+            # 11.3GB extra at 2M/mw=21, docs/SCALE.md layout audit).
+            # Lane-aligned widths compile copy-free: round down.
+            W = self.opts.max_connections
+            align = 128 // math.gcd(W, 128)
+            mw_aligned = (mw // align) * align
+            if mw_aligned >= 2:
+                mw = mw_aligned
+            else:
+                # no aligned width fits: budget the padded copy too
+                mw = int(budget // (2 * per_word))
         # below 64 prefix bits the estimates are too noisy to steer the
         # beam; fall back to the gather path instead of a bad graph
         return mw if mw >= 2 else 0
@@ -659,11 +710,33 @@ class NSWBuilder:
     def _scan_group(self, sched, i: int, max_chunk: int) -> int:
         """Scanned-dispatch group size at schedule position i
         (_build.scan_group_at; also used unbound by HNSWBuilder)."""
+        if not NSWBuilder._scanned_fits(self):  # unbound: HNSWBuilder too
+            return 1
         return _build.scan_group_at(
             sched, i, max_chunk, self.opts.scan_group,
             entry_ready=(self.opts.entry_sample > 0
                          and self.n > self.opts.entry_sample),
         )
+
+    def _scanned_fits(self) -> bool:
+        """Scanned G-chunk dispatch compiles an HLO temp re-tiling the
+        inline table into the gather-preferred (row-contiguous) layout —
+        measured 7.63GB `copy(bitcast)` at 1M full-inline rows (round-3
+        bench1m compile OOM: 16.16G of 15.75G). Per-chunk dispatches
+        gather straight from the argument layout with no such copy, so
+        when live buffers + the copy exceed the chip, fall back to
+        per-chunk (G=1)."""
+        if self.adj_pts is None or jax.default_backend() not in (
+            "tpu", "axon"
+        ):
+            return True
+        import os
+
+        g = self.graph if hasattr(self, "graph") else self.base
+        live = (self.points.nbytes + g.adj.nbytes + g.deg.nbytes
+                + self.spill.nbytes + self.adj_pts.nbytes)
+        hbm = float(os.environ.get("HNSW_TPU_HBM_BYTES", _TPU_HBM_BYTES))
+        return live + self.adj_pts.nbytes + 1.0e9 <= hbm
 
     def _insert_chunks_scanned(self, chunk: np.ndarray, G: int, c: int):
         """G full equal chunks in ONE dispatch (_build.chunk_steps_scanned)
@@ -723,9 +796,17 @@ class NSWBuilder:
             pts_np, self.metric.name, adj_np, deg_np, 1, warm,
             m=self.opts.connections, efc=self.opts.ef_construction, ep=0,
         )
+        # free the pre-warmup zero buffers BEFORE uploading replacements:
+        # nothing queued references them yet, and holding old+new doubles
+        # peak HBM — at 2M/mw=21 the inline rows alone are 10.7GB, so two
+        # generations OOM a 16GB chip (observed round 3)
+        self.points.delete()
         self.points = jnp.asarray(pts_np)
+        self.graph.adj.delete()
+        self.graph.deg.delete()
         self.graph = GraphArrays(jnp.asarray(adj_np), jnp.asarray(deg_np))
         if self.adj_pts is not None:
+            self.adj_pts.delete()
             self.adj_pts = _materialize_inline(
                 self.points, self.graph.adj, self.inline_words
             )
