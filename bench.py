@@ -61,6 +61,19 @@ def main():
     print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr)
 
+    # exact ground truth on the MXU — BEFORE the index exists: build()
+    # materializes the fused/inline query table (~8.9GB at 1M), and the
+    # oracle's bit tables alongside it OOM the chip (round-3 bench1m)
+    t0 = time.perf_counter()
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt_ids = np.asarray(bf.build().knns(qs, K).ids)
+    del bf  # free the oracle's device tables before the index allocates
+    import gc
+
+    gc.collect()
+    print(f"# ground truth: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
     opts = IndexOptions(
         ef_construction=96,
         connections=24,
@@ -76,13 +89,6 @@ def main():
     build_s = time.perf_counter() - t0
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}", file=sys.stderr)
-
-    # exact ground truth on the MXU
-    t0 = time.perf_counter()
-    bf = Bruteforce("hamming")
-    bf.extend(pts)
-    gt = bf.build().knns(qs, K)
-    print(f"# ground truth: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # timed query runs (first run includes compile; take best of 2 after)
     index.query_batch = 8192
@@ -100,7 +106,7 @@ def main():
             t0 = time.perf_counter()
             res = index.knns(qs_dev, K, ef)
             best = min(best, time.perf_counter() - t0)
-        rec = recall_at_k(np.asarray(res.ids), np.asarray(gt.ids), K)
+        rec = recall_at_k(np.asarray(res.ids), gt_ids, K)
         print(f"# query ef={ef}: {best:.3f}s for {NQ} queries, "
               f"recall@10={rec:.4f}, "
               f"visited/q={index.last_stats['visited']/NQ:.0f}",
