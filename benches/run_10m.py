@@ -190,7 +190,9 @@ def main():
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
     # smoke-scale invocations must not clobber the recorded artifact
-    out_name = "results_10m.json" if N >= 1_000_000 else "results_smoke.json"
+    out_name = os.environ.get(
+        "BENCH_OUT",
+        "results_10m.json" if N >= 1_000_000 else "results_smoke.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             out_name)
     with open(out_path, "w") as f:  # partial record survives a timeout
