@@ -86,6 +86,23 @@ def main():
     np.asarray(graph.deg[:1])
     step("chunk_step (entry-sampled, donated)", t0)
 
+    # the descent variant HNSW level groups dispatch (eps array,
+    # use_entry=False, do_write=False) at the SMALLEST bucket — layout
+    # choice is shape-specific and the tiny shapes picked a pathological
+    # whole-adjacency re-layout copy in round 3 (cp=1: 4.77GB at 10M)
+    t0 = time.perf_counter()
+    small = 8
+    points, graph, adj_pts, spill, _ = _build.chunk_step(
+        points, node_map, graph, adj_pts, spill,
+        chunk[:small], ids[:small], jnp.int32(cp),
+        jnp.full((small,), 0, jnp.int32), jnp.int32(small),
+        S=small, efc=efc, m=m, metric_name="hamming", expand=1,
+        prune_budget=small, entry_sample=1024, use_entry=False,
+        do_write=False, inline_words=iw,
+    )
+    np.asarray(graph.deg[:1])
+    step(f"chunk_step (descent variant, cp={small})", t0)
+
     cap0 = b._level_capacity(0)
     lcp = 1024
     lg = GraphArrays(jnp.full((cap0, W), -1, jnp.int32),

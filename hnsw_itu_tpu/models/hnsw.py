@@ -802,8 +802,13 @@ class HNSWBuilder:
         c = chunk.shape[0]
         if c == 0:
             return
-        if c > 1:
-            cpad = max(256, 1 << (c - 1).bit_length())
+        # Bucket floor 8 even for single-point groups: the cp=1/S=1
+        # chunk_step program triggers a pathological whole-adjacency
+        # re-layout copy at 10M shapes (4.77GB padded — OOM; cp>=2
+        # compiles copy-free. docs/SCALE.md layout audit). Padding rows
+        # carry base_id -1 and are masked out of every mutation.
+        cpad = max(256, 1 << (c - 1).bit_length()) if c > 1 else 8
+        if cpad > c:
             chunk = _pad_rows(np.asarray(chunk), cpad)
             base_ids = np.concatenate(
                 [base_ids, np.full((cpad - c,), -1, np.int32)]
