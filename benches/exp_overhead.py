@@ -67,6 +67,15 @@ def main():
     index.enable_inline()
     qs_dev = jnp.asarray(qs)
 
+    # r. tunnel round trip: dispatch of a trivial jitted op + 4-byte fetch.
+    # Every variant below pays this once; it bounds the fixed per-batch
+    # cost that no program-side optimization can remove.
+    tiny = jnp.zeros((8,), jnp.int32)
+    rtt_fn = jax.jit(lambda x: x + 1)
+    tr = timeit(lambda: np.asarray(rtt_fn(tiny)[:1]))
+    print(f"# r. dispatch+fetch RTT (trivial op): {tr*1e3:7.1f} ms",
+          flush=True)
+
     # a. full knns
     ta = timeit(lambda: np.asarray(index.knns(qs_dev, K, EF).ids[:1]))
     print(f"# a. full knns:        {ta*1e3:7.1f} ms  "
@@ -98,21 +107,35 @@ def main():
     td = timeit(lambda: np.asarray(sort_unsort(qs_dev, eps)[:1, :1]))
     print(f"# d. entry-d+sort+unsort: {td*1e3:7.1f} ms", flush=True)
 
-    # b. kernel path without the entry-sample matmul (ep=0 for all):
-    # isolates (a) - (b) ~= entry-sample cost inside the full program
+    # b/e/f. program variants via static args (each retraces):
+    #   b. no entry sample (ep=0 for all), sorted     -> a-b ~ entry cost
+    #   e. entry sample, NO batch sort/unsort         -> a-e ~ sort cost
+    #                                                   (+ divergence delta)
+    #   f. neither (ep=0, unsorted)                   -> the bare kernel
     if index.fused is not None:
         from hnsw_itu_tpu.models.nsw import _query_step_fused
         from hnsw_itu_tpu.ops.pallas_search import fused_width
 
-        tb = timeit(lambda: np.asarray(_query_step_fused(
-            index.points, index.fused, qs_dev, jnp.int32(0),
-            jnp.int32(index.n),
-            k=K, ef=EF, metric_name=index.metric.name,
-            max_steps=EF, entry_sample=0,
-            W=fused_width(index.base.width), block_q=512,
-        )[1][:1]))
-        print(f"# b. fused step, no entry sample (ep=0 for all): "
-              f"{tb*1e3:7.1f} ms", flush=True)
+        W = fused_width(index.base.width)
+
+        def variant(entry_sample, sort_queries):
+            return timeit(lambda: np.asarray(_query_step_fused(
+                index.points, index.fused, qs_dev, jnp.int32(0),
+                jnp.int32(index.n),
+                k=K, ef=EF, metric_name=index.metric.name,
+                max_steps=EF, entry_sample=entry_sample,
+                W=W, block_q=512, sort_queries=sort_queries,
+            )[1][:1]))
+
+        tb = variant(0, True)
+        print(f"# b. no entry sample (ep=0), sorted:   {tb*1e3:7.1f} ms",
+              flush=True)
+        te = variant(1024, False)
+        print(f"# e. entry sample, unsorted:           {te*1e3:7.1f} ms",
+              flush=True)
+        tf = variant(0, False)
+        print(f"# f. ep=0, unsorted (bare kernel+pack): {tf*1e3:7.1f} ms",
+              flush=True)
     print("# done", flush=True)
 
 

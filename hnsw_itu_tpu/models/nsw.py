@@ -198,10 +198,11 @@ def _fused_query_eligible(points, adj, metric) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
-                     "W", "block_q"),
+                     "W", "block_q", "sort_queries"),
 )
 def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
-                      max_steps, entry_sample, W, block_q, eps=None):
+                      max_steps, entry_sample, W, block_q, eps=None,
+                      sort_queries=None):
     """Fused-kernel query step: sampled (or fixed) entry + packed init keys
     in XLA, then the whole beam loop in one Pallas kernel."""
     from ..ops.pallas_search import fused_beam_search, key_clamp
@@ -224,9 +225,13 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     # slowest member, and entry distance predicts search depth — grouping
     # shallow queries together lets whole blocks exit early (the divergence
     # cost is >10x on clustered data, benches/RESULTS.md).
-    # HNSW_TPU_SORT_QUERIES=0 disables (perf experiments only; read at
-    # trace time, so flip it before the first call of a given shape)
-    sort_q = os.environ.get("HNSW_TPU_SORT_QUERIES", "1") != "0"
+    # sort_queries (static): None = HNSW_TPU_SORT_QUERIES env (default on).
+    # Perf experiments pass it explicitly — a changed static retraces, an
+    # env flip after first trace of a shape would silently be ignored.
+    if sort_queries is None:
+        sort_q = os.environ.get("HNSW_TPU_SORT_QUERIES", "1") != "0"
+    else:
+        sort_q = bool(sort_queries)
     if sort_q:
         order = jnp.argsort(d0)
         inv = jnp.argsort(order)

@@ -263,18 +263,23 @@ def _merge_packed(kb, fb, ck, fc, span):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel_packed(*, ef, W, words, id_bits, key_inf, max_steps, bq,
-                        cap):
-    """Two-queries-per-row variant (half == 64 only): queries 2i and 2i+1
-    share one 128-lane row — query a in lanes 0-63, query b in 64-127. The
-    bitonic networks at 64 lanes never exchange across the 64-lane
-    boundary, so the single-query kernel runs them at half-vreg occupancy;
-    packing doubles the work per vector op in the candidate sort, the
-    dedup rotation, and the frontier/bookkeeping, and turns the first
-    merge step into a cross-plane elementwise swap. Semantics are
-    IDENTICAL to _make_kernel (same keys, visited, steps)."""
-    SPAN = 64
-    bq2 = bq // 2
+def _make_kernel_packed(*, ef, span, W, words, id_bits, key_inf, max_steps,
+                        bq, cap):
+    """P-queries-per-row variant (P = 128 // span; span 64 = two queries,
+    span 32 = four). Queries g*P+i of a row pair share one 128-lane row,
+    query g occupying lanes [g*span, (g+1)*span). The bitonic networks at
+    ``span`` lanes never exchange across a span boundary, so the
+    single-query kernel runs them at 1/P-vreg occupancy; packing
+    multiplies the work per vector op in the candidate sort, the dedup
+    rotation, and the frontier/bookkeeping by P, and turns the first
+    merge step into a cross-plane elementwise swap. span=32 additionally
+    halves the sort/dedup iteration counts vs span=64 (15 vs 21 exchanges,
+    32 vs 64 dedup rotations). Requires ef <= span and W <= span.
+    Semantics are IDENTICAL to _make_kernel (same keys, visited, steps)."""
+    SPAN = span
+    P = LANES // SPAN
+    SPAN_SHIFT = SPAN.bit_length() - 1
+    bqp = bq // P
     REP = LANES // W
     S = fused_subrows(W, words)   # data subrows per table row (8-aligned)
     SD = words // REP             # live data subrows
@@ -287,160 +292,157 @@ def _make_kernel_packed(*, ef, W, words, id_bits, key_inf, max_steps, bq,
 
     def kernel(qt_ref, init_ref, ids_hbm, table_hbm, outk_ref, vis_ref,
                stp_ref, kb, fb, arows, rows, eref, sem):
-        # ---- per-block init: entry keys at lane 0 (a) and lane 64 (b) ----
-        kb[:] = jnp.full((bq2, LANES), KINF, jnp.int32)
-        kb[:, 0:1] = init_ref[:, 0:1]
-        kb[:, SPAN : SPAN + 1] = init_ref[:, 1:2]
-        fb[:] = jnp.zeros((bq2, LANES), jnp.int32)
-        vis_ref[:] = jnp.ones((bq2, 2), jnp.int32)
-        stp_ref[:] = jnp.zeros((bq2, 2), jnp.int32)
+        # ---- per-block init: entry key of query g at lane g*SPAN --------
+        kb[:] = jnp.full((bqp, LANES), KINF, jnp.int32)
+        for g in range(P):
+            kb[:, g * SPAN : g * SPAN + 1] = init_ref[:, g : g + 1]
+        fb[:] = jnp.zeros((bqp, LANES), jnp.int32)
+        vis_ref[:] = jnp.ones((bqp, P), jnp.int32)
+        stp_ref[:] = jnp.zeros((bqp, P), jnp.int32)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bq2, LANES), 1)
-        isa = lane < SPAN
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bqp, LANES), 1)
         elem = lane & (SPAN - 1)
+        grp = lane >> SPAN_SHIFT  # span index of each lane
         at0 = elem == 0  # first lane of each span group
 
         def body(carry):
             step, _ = carry
-            # ---- frontier per half: best unexpanded key ---------------------
+            # ---- frontier per span: best unexpanded key -----------------
             masked = jnp.where(fb[:] != 0, BIG, kb[:])
-            min_a = jnp.min(jnp.where(isa, masked, BIG), axis=1,
-                            keepdims=True)
-            min_b = jnp.min(jnp.where(isa, BIG, masked), axis=1,
-                            keepdims=True)
-            worst_a = kb[:, ef - 1 : ef]
-            worst_b = kb[:, SPAN + ef - 1 : SPAN + ef]
-            done_a = (min_a >= KINF) | (min_a > worst_a)  # [bq2, 1]
-            done_b = (min_b >= KINF) | (min_b > worst_b)
-            minkey = jnp.where(isa, min_a, min_b)   # per-half broadcast
+            dones = []
+            minkey = jnp.zeros((bqp, LANES), jnp.int32)
+            for g in range(P):
+                in_g = grp == g
+                min_g = jnp.min(jnp.where(in_g, masked, BIG), axis=1,
+                                keepdims=True)
+                worst_g = kb[:, g * SPAN + ef - 1 : g * SPAN + ef]
+                done_g = (min_g >= KINF) | (min_g > worst_g)  # [bqp, 1]
+                dones.append(done_g)
+                minkey = jnp.where(in_g, min_g, minkey)
+                eref[:, g : g + 1] = jnp.where(
+                    done_g, 0, jnp.minimum(min_g & MASK, cap - 1)
+                )
+                stp_ref[:, g : g + 1] = stp_ref[:, g : g + 1] + jnp.where(
+                    done_g, 0, 1
+                )
             # bool-valued jnp.where lowers to an unsupported i8->i1 trunc
             # on Mosaic; compose the per-lane done mask with and/or instead
-            done_l = (isa & done_a) | (jnp.logical_not(isa) & done_b)
+            done_l = (grp == 0) & dones[0]
+            for g in range(1, P):
+                done_l = done_l | ((grp == g) & dones[g])
             fb[:] = jnp.where(
                 (kb[:] == minkey) & jnp.logical_not(done_l), 1, fb[:]
             )
-            eref[:, 0:1] = jnp.where(
-                done_a, 0, jnp.minimum(min_a & MASK, cap - 1)
-            )
-            eref[:, 1:2] = jnp.where(
-                done_b, 0, jnp.minimum(min_b & MASK, cap - 1)
-            )
-            stp_ref[:, 0:1] = stp_ref[:, 0:1] + jnp.where(done_a, 0, 1)
-            stp_ref[:, 1:2] = stp_ref[:, 1:2] + jnp.where(done_b, 0, 1)
 
-            # ---- fetch id + data rows: two DMAs per live query -------------
+            # ---- fetch id + data rows: two DMAs per live query ----------
             def issue(i, n):
-                ea = eref[i, 0]
-                eb = eref[i, 1]
-                pltpu.make_async_copy(
-                    ids_hbm.at[ea >> PA_SHIFT], arows.at[i, pl.ds(0, 1)], sem
-                ).start()
-                pltpu.make_async_copy(
-                    table_hbm.at[ea], rows.at[i, pl.ds(0, S)], sem
-                ).start()
-                pltpu.make_async_copy(
-                    ids_hbm.at[eb >> PA_SHIFT], arows.at[i, pl.ds(1, 1)], sem
-                ).start()
-                pltpu.make_async_copy(
-                    table_hbm.at[eb], rows.at[i, pl.ds(S, S)], sem
-                ).start()
+                for g in range(P):
+                    e = eref[i, g]
+                    pltpu.make_async_copy(
+                        ids_hbm.at[e >> PA_SHIFT], arows.at[i, pl.ds(g, 1)],
+                        sem,
+                    ).start()
+                    pltpu.make_async_copy(
+                        table_hbm.at[e], rows.at[i, pl.ds(g * S, S)], sem
+                    ).start()
                 return n
 
-            jax.lax.fori_loop(0, bq2, issue, 0, unroll=bq2)
+            jax.lax.fori_loop(0, bqp, issue, 0, unroll=bqp)
 
             def drain(i, n):
-                ea = eref[i, 0]
-                eb = eref[i, 1]
-                pltpu.make_async_copy(
-                    ids_hbm.at[ea >> PA_SHIFT], arows.at[i, pl.ds(0, 1)], sem
-                ).wait()
-                pltpu.make_async_copy(
-                    table_hbm.at[ea], rows.at[i, pl.ds(0, S)], sem
-                ).wait()
-                pltpu.make_async_copy(
-                    ids_hbm.at[eb >> PA_SHIFT], arows.at[i, pl.ds(1, 1)], sem
-                ).wait()
-                pltpu.make_async_copy(
-                    table_hbm.at[eb], rows.at[i, pl.ds(S, S)], sem
-                ).wait()
+                for g in range(P):
+                    e = eref[i, g]
+                    pltpu.make_async_copy(
+                        ids_hbm.at[e >> PA_SHIFT], arows.at[i, pl.ds(g, 1)],
+                        sem,
+                    ).wait()
+                    pltpu.make_async_copy(
+                        table_hbm.at[e], rows.at[i, pl.ds(g * S, S)], sem
+                    ).wait()
                 return n
 
-            jax.lax.fori_loop(0, bq2, drain, 0, unroll=bq2)
+            jax.lax.fori_loop(0, bqp, drain, 0, unroll=bqp)
 
-            # ---- distances per half, packed into one candidate row ---------
+            # ---- distances per span, packed into one candidate row ------
             def dists(data, qt):
                 pc = jax.lax.population_count(
                     jnp.bitwise_xor(data, qt)
                 ).astype(jnp.int32)
-                acc = jnp.sum(pc, axis=1)  # [bq2, 128]
+                acc = jnp.sum(pc, axis=1)  # [bqp, 128]
                 w = LANES
                 while w > W:
                     w //= 2
                     acc = acc[:, :w] + acc[:, w:]
                 if W < SPAN:
                     acc = jnp.concatenate(
-                        [acc, jnp.zeros((bq2, SPAN - W), jnp.int32)], axis=1
+                        [acc, jnp.zeros((bqp, SPAN - W), jnp.int32)], axis=1
                     )
-                return acc  # [bq2, 64]
+                return acc  # [bqp, SPAN]
 
-            da = dists(rows[:, :SD, :], qt_ref[:, :SD, :])
-            db = dists(rows[:, S : S + SD, :], qt_ref[:, SD : 2 * SD, :])
             d = jnp.minimum(
-                jnp.concatenate([da, db], axis=1), DCLAMP
-            )  # [bq2, 128]
+                jnp.concatenate(
+                    [
+                        dists(rows[:, g * S : g * S + SD, :],
+                              qt_ref[:, g * SD : g * SD + SD, :])
+                        for g in range(P)
+                    ],
+                    axis=1,
+                ),
+                DCLAMP,
+            )  # [bqp, 128]
 
-            # ---- adjacency lanes from the packed-id rows --------------------
+            # ---- adjacency lanes from the packed-id rows ----------------
             def adjlanes(row, e):
                 if PA == 1:
                     sel = row
                 else:
-                    grp = e & (PA - 1)  # [bq2, 1]
-                    sel = jnp.where(grp == 0, row, 0)
-                    for g in range(1, PA):
+                    g = e & (PA - 1)  # [bqp, 1]
+                    sel = jnp.where(g == 0, row, 0)
+                    for i in range(1, PA):
                         sel = sel | jnp.where(
-                            grp == g,
-                            pltpu.roll(row, LANES - g * W, axis=1), 0,
+                            g == i,
+                            pltpu.roll(row, LANES - i * W, axis=1), 0,
                         )
                 return sel  # valid in lanes 0..W-1
 
-            sel_a = adjlanes(arows[:, 0, :], eref[:, 0:1])
-            sel_b = adjlanes(arows[:, 1, :], eref[:, 1:2])
             nbr = jnp.concatenate(
-                [sel_a[:, :SPAN], sel_b[:, :SPAN]], axis=1
+                [
+                    adjlanes(arows[:, g, :], eref[:, g : g + 1])[:, :SPAN]
+                    for g in range(P)
+                ],
+                axis=1,
             )
             nbr = jnp.where(elem < W, nbr, -1)
             valid = (nbr >= 0) & jnp.logical_not(done_l)
             ck = jnp.where(valid, (d << id_bits) | nbr, KINF)
 
-            # ---- dedup vs own beam: within-span rotation --------------------
+            # ---- dedup vs own beam: within-span rotation ----------------
             def dd(i, c):
                 dup, bc = c
                 dup = dup | (ck == bc).astype(jnp.int32)
-                # rotate each 64-lane group independently: lane 0/64 wraps
-                # from its own group's last lane
+                # rotate each span-lane group independently: the group's
+                # first lane wraps from its own group's last lane
                 bc = jnp.where(
                     at0,
-                    pltpu.roll(bc, SPAN + 1, axis=1),
+                    pltpu.roll(bc, LANES - SPAN + 1, axis=1),
                     pltpu.roll(bc, 1, axis=1),
                 )
                 return dup, bc
 
             dup, _ = jax.lax.fori_loop(
-                0, SPAN, dd, (jnp.zeros((bq2, LANES), jnp.int32), kb[:])
+                0, SPAN, dd, (jnp.zeros((bqp, LANES), jnp.int32), kb[:])
             )
             ck = jnp.where(dup != 0, KINF, ck)
             fr = (ck < KINF).astype(jnp.int32)
-            vis_ref[:, 0:1] = vis_ref[:, 0:1] + jnp.sum(
-                jnp.where(isa, fr, 0), axis=1, keepdims=True
-            )
-            vis_ref[:, 1:2] = vis_ref[:, 1:2] + jnp.sum(
-                jnp.where(isa, 0, fr), axis=1, keepdims=True
-            )
+            for g in range(P):
+                vis_ref[:, g : g + 1] = vis_ref[:, g : g + 1] + jnp.sum(
+                    jnp.where(grp == g, fr, 0), axis=1, keepdims=True
+                )
 
-            # ---- merge: per-span desc sort, cross-plane packed merge --------
+            # ---- merge: per-span desc sort, cross-plane packed merge ----
             cks = _bitonic_sort(ck, descending=True, span=SPAN)
             nk, nf, _, _ = _merge_packed(
-                kb[:], fb[:], cks, jnp.zeros((bq2, LANES), jnp.int32), SPAN
+                kb[:], fb[:], cks, jnp.zeros((bqp, LANES), jnp.int32), SPAN
             )
             if ef < SPAN:
                 evict = elem >= ef
@@ -638,17 +640,20 @@ def fused_beam_search(
     dma_mode: str = "loop",
     packed: str = "auto",
 ):
-    """Run the fused search. Returns (keys int32[B, half], visited int32[B],
-    steps int32[B]); decode ids/distances with ``key >> id_bits`` /
-    ``key & mask``. ``B`` must be a multiple of ``block_q`` (pad at the
-    call site); ``init_keys`` holds each query's packed entry-point key
-    (distances pre-clamped like the kernel's). ``W`` is the PHYSICAL fused
-    width (fused_width of the adjacency). ``max_d`` is clamped in-kernel
-    to 2^(31 - id_bits) - 2 when the raw bound would overflow int32.
+    """Run the fused search. Returns (keys int32[B, span-or-half >= ef],
+    visited int32[B], steps int32[B]); decode ids/distances with
+    ``key >> id_bits`` / ``key & mask``. ``B`` must be a multiple of
+    ``block_q`` (pad at the call site); ``init_keys`` holds each query's
+    packed entry-point key (distances pre-clamped like the kernel's).
+    ``W`` is the PHYSICAL fused width (fused_width of the adjacency).
+    ``max_d`` is clamped in-kernel to 2^(31 - id_bits) - 2 when the raw
+    bound would overflow int32.
 
-    ``packed`` selects the two-queries-per-row kernel ("auto": whenever
-    the beam half is 64 lanes, i.e. ef <= 64 and W <= 64; "never"/"always"
-    to pin for A/B runs). Results are identical either way."""
+    ``packed`` selects the P-queries-per-row kernel ("auto": whenever the
+    beam span is <= 64 lanes — span 64 packs two queries per 128-lane
+    row (ef, W <= 64), span 32 packs four (ef, W <= 32); "never"/"always"
+    to pin for A/B runs). Results are identical either way; only the
+    returned key-row width differs (span vs half, both >= ef)."""
     cap = table.cap
     B = queries.shape[0]
     if B % block_q != 0:
@@ -656,16 +661,24 @@ def fused_beam_search(
     half = max(64, _next_pow2(ef), _next_pow2(W))
     if half > LANES:
         raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
+    span = max(32, _next_pow2(ef), _next_pow2(W))
     max_d = key_clamp(id_bits, max_d)
     key_inf = (max_d + 1) << id_bits
     qt = query_tiles(queries, W)  # [B, words//REP, 128]
-    use_packed = (half == 64 and block_q % 2 == 0 and dma_mode == "loop"
-                  if packed == "auto" else packed == "always")
+    use_packed = (
+        span <= 64 and block_q % (LANES // span) == 0 and dma_mode == "loop"
+        if packed == "auto" else packed == "always"
+    )
     if use_packed:
+        if span > 64:
+            raise ValueError(f"packed kernel needs ef, W <= 64 (span {span})")
+        if block_q % (LANES // span):
+            raise ValueError(
+                f"block_q={block_q} not a multiple of {LANES // span}")
         return _fused_packed(
-            table, qt, init_keys, ef=ef, W=W, words=words, id_bits=id_bits,
-            key_inf=key_inf, max_steps=max_steps, block_q=block_q,
-            interpret=interpret,
+            table, qt, init_keys, ef=ef, span=span, W=W, words=words,
+            id_bits=id_bits, key_inf=key_inf, max_steps=max_steps,
+            block_q=block_q, interpret=interpret,
         )
     kernel, S = _make_kernel(
         ef=ef, half=half, W=W, words=words, id_bits=id_bits,
@@ -719,58 +732,60 @@ def fused_beam_search(
     return keys, vis[:, 0], stp[:, 0]
 
 
-def _fused_packed(table, qt, init_keys, *, ef, W, words, id_bits, key_inf,
-                  max_steps, block_q, interpret):
-    """pallas_call plumbing for the two-queries-per-row kernel. Inputs and
-    outputs are reshaped XLA-side (free) so the kernel never relayouts:
-    query tiles [B, SD, 128] -> [B/2, 2*SD, 128] (row pair = subrow
-    concat), init keys [B] -> [B/2, 2], out keys [B/2, 128] -> [B, 64]."""
+def _fused_packed(table, qt, init_keys, *, ef, span, W, words, id_bits,
+                  key_inf, max_steps, block_q, interpret):
+    """pallas_call plumbing for the P-queries-per-row kernel (P =
+    128 // span). Inputs and outputs are reshaped XLA-side (free) so the
+    kernel never relayouts: query tiles [B, SD, 128] -> [B/P, P*SD, 128]
+    (row group = subrow concat), init keys [B] -> [B/P, P], out keys
+    [B/P, 128] -> [B, span]."""
     B = qt.shape[0]
     SD = qt.shape[1]
-    bq2 = block_q // 2
+    P = LANES // span
+    bqp = block_q // P
     kernel, S = _make_kernel_packed(
-        ef=ef, W=W, words=words, id_bits=id_bits, key_inf=key_inf,
-        max_steps=max_steps, bq=block_q, cap=table.cap,
+        ef=ef, span=span, W=W, words=words, id_bits=id_bits,
+        key_inf=key_inf, max_steps=max_steps, bq=block_q, cap=table.cap,
     )
-    qt2 = qt.reshape(B // 2, 2 * SD, LANES)
+    qt2 = qt.reshape(B // P, P * SD, LANES)
     grid = (B // block_q,)
     keys, vis, stp = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((B // 2, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
-            jax.ShapeDtypeStruct((B // 2, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B // P, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B // P, P), jnp.int32),
+            jax.ShapeDtypeStruct((B // P, P), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(
-                (bq2, 2 * SD, LANES), lambda i: (i, 0, 0),
+                (bqp, P * SD, LANES), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+            pl.BlockSpec((bqp, P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((bq2, LANES), lambda i: (i, 0),
+            pl.BlockSpec((bqp, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+            pl.BlockSpec((bqp, P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+            pl.BlockSpec((bqp, P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq2, LANES), jnp.int32),        # packed beam keys
-            pltpu.VMEM((bq2, LANES), jnp.int32),        # expanded flags
-            pltpu.VMEM((bq2, 2, LANES), jnp.int32),     # packed-id rows
-            pltpu.VMEM((bq2, 2 * S, LANES), jnp.uint32),  # fused data rows
-            pltpu.VMEM((bq2, 2), jnp.int32),            # expansion ids
+            pltpu.VMEM((bqp, LANES), jnp.int32),        # packed beam keys
+            pltpu.VMEM((bqp, LANES), jnp.int32),        # expanded flags
+            pltpu.VMEM((bqp, P, LANES), jnp.int32),     # packed-id rows
+            pltpu.VMEM((bqp, P * S, LANES), jnp.uint32),  # fused data rows
+            pltpu.VMEM((bqp, P), jnp.int32),            # expansion ids
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(qt2, init_keys.reshape(B // 2, 2), table.ids, table.data)
-    return keys.reshape(B, 64), vis.reshape(B), stp.reshape(B)
+    )(qt2, init_keys.reshape(B // P, P), table.ids, table.data)
+    return keys.reshape(B, span), vis.reshape(B), stp.reshape(B)

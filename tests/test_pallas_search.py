@@ -72,11 +72,13 @@ def test_query_tiles_layout():
 
 
 @pytest.mark.parametrize("packed", ["never", "always"])
-@pytest.mark.parametrize("w,ef", [(16, 24), (32, 64), (64, 48)])
+@pytest.mark.parametrize("w,ef", [(16, 24), (32, 64), (64, 48), (32, 32),
+                                  (32, 16)])
 def test_fused_matches_xla_packed(w, ef, packed):
     """Bit-exact equivalence with _beam_search_packed (dedup='beam',
-    expand=1): distances, ids, visited counts, and step counts — for both
-    the single-query kernel and the two-queries-per-row variant."""
+    expand=1): distances, ids, visited counts, and step counts — for the
+    single-query kernel and both packed spans (w/ef <= 32 -> span 32 =
+    four queries per row; else span 64 = two)."""
     cap, words, B = 512, 32, 64
     rng = np.random.default_rng(w * 1000 + ef)
     pts, adj = _random_graph(rng, cap, w, words)
