@@ -74,10 +74,15 @@ def main():
     gc.collect()
     print(f"# ground truth: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    # BENCH_W: max degree (64 default). 32 halves the fused-table row AND
+    # enables the four-queries-per-row span-32 kernel at ef<=32
+    # (ops/pallas_search.py); costs ~1-2 recall points vs W=64 (2M probe:
+    # 0.9789 vs 0.9824 exact-path at ef=64).
+    W = int(os.environ.get("BENCH_W", 64))
     opts = IndexOptions(
         ef_construction=96,
         connections=24,
-        max_connections=64,
+        max_connections=W,
         size=N,
         batch_size=256,
         host_warmup=min(50_000, N),
