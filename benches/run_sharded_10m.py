@@ -58,7 +58,13 @@ def main():
     N = -(-N // SH) * SH  # equal shards -> one compiled program for all
     PER = N // SH
     NQ, K, NGT = 10_000, 10, 2048
-    EF = int(os.environ.get("BENCH_EF", 48))
+    # BENCH_EF: comma list — each built shard is queried at EVERY ef
+    # (builds dominate ~1500s total; one extra ef costs ~5s across all
+    # shards), merged/reported per ef; the headline is the fastest ef
+    # meeting the 0.93 recall gate. BENCH_W: shard max degree (32 halves
+    # the fused table and enables the span-32 packed kernel at ef<=32).
+    EFS = [int(x) for x in os.environ.get("BENCH_EF", "48,32").split(",")]
+    W = int(os.environ.get("BENCH_W", 64))
 
     t_start = time.perf_counter()
     # multi-scale clustered sketches (navigable LAION proxy; the flat
@@ -85,8 +91,9 @@ def main():
     resume_ok = (os.environ.get("BENCH_RESUME", "1") == "1"
                  and os.path.exists(ckpt_path))
     z = np.load(ckpt_path) if resume_ok else None
-    if z is not None and int(z["ef"]) != EF:
-        print(f"# ignoring checkpoint (ef {int(z['ef'])} != {EF})",
+    if z is not None and ("efs" not in z or list(z["efs"]) != EFS
+                          or int(z.get("w", 64)) != W):
+        print("# ignoring checkpoint (ef sweep / W config changed)",
               file=sys.stderr, flush=True)
         z = None
 
@@ -104,22 +111,24 @@ def main():
 
     qs_dev = jnp.asarray(qs)
     opts = IndexOptions(ef_construction=96, connections=24,
-                        max_connections=64, size=PER, batch_size=256,
+                        max_connections=W, size=PER, batch_size=256,
                         host_warmup=min(20_000, PER))
 
-    # per-shard results, merged exactly at the end: distances are the
-    # global tie-break key, ids carry the shard offset back to global
+    # per-(ef, shard) results, merged exactly at the end: distances are
+    # the global tie-break key, ids carry the shard offset back to global
+    NE = len(EFS)
     if z is not None:
         s_start = int(z["s_done"])
         all_d, all_i = z["all_d"], z["all_i"]
         build_times = [float(x) for x in z["build_times"]]
-        query_times = [float(x) for x in z["query_times"]]
+        query_times = [[float(x) for x in row] for row in z["query_times"]]
         paths = str(z["paths"])
     else:
         s_start = 0
-        all_d = np.full((NQ, SH * K), np.iinfo(np.int32).max, np.int64)
-        all_i = np.full((NQ, SH * K), -1, np.int64)
-        build_times, query_times = [], []
+        all_d = np.full((NE, NQ, SH * K), np.iinfo(np.int32).max, np.int64)
+        all_i = np.full((NE, NQ, SH * K), -1, np.int64)
+        build_times = []
+        query_times = [[] for _ in range(NE)]
         paths = "xla"
     out_name = ("results_sharded_10m.json" if N >= 1_000_000
                 else "results_sharded_smoke.json")
@@ -138,36 +147,40 @@ def main():
 
         index.query_batch = 8192
         index.query_entry_sample = 1024
-        index.max_steps = EF
         index.enable_inline()
         path = "fused" if index.fused is not None else (
             f"mini(mw={index.mini_words})" if index.mini is not None
             else "xla")
-        index.knns(qs_dev[:8192], K, EF)  # compile (cached after shard 0)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            res = index.knns(qs_dev, K, EF)
-            np.asarray(res.ids[:1])
-            best = min(best, time.perf_counter() - t0)
-        query_times.append(best)
-        d = np.asarray(res.dists).astype(np.int64)
-        i = np.asarray(res.ids).astype(np.int64)
-        # invalid slots come back as ID_INF (int32 max), not negative
-        ok = (i >= 0) & (i < np.iinfo(np.int32).max)
-        all_d[:, s * K : (s + 1) * K] = np.where(ok, d, np.iinfo(np.int32).max)
-        all_i[:, s * K : (s + 1) * K] = np.where(ok, i + lo, -1)
+        for e, ef in enumerate(EFS):
+            index.max_steps = ef
+            index.knns(qs_dev[:8192], K, ef)  # compile (cached after s=0)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = index.knns(qs_dev, K, ef)
+                np.asarray(res.ids[:1])
+                best = min(best, time.perf_counter() - t0)
+            query_times[e].append(best)
+            d = np.asarray(res.dists).astype(np.int64)
+            i = np.asarray(res.ids).astype(np.int64)
+            # invalid slots come back as ID_INF (int32 max), not negative
+            ok = (i >= 0) & (i < np.iinfo(np.int32).max)
+            all_d[e, :, s * K : (s + 1) * K] = np.where(
+                ok, d, np.iinfo(np.int32).max)
+            all_i[e, :, s * K : (s + 1) * K] = np.where(ok, i + lo, -1)
+            print(f"# shard {s} ef={ef}: build {bt:.1f}s, query {best:.3f}s "
+                  f"({NQ/best:.0f} QPS), path={path}",
+                  file=sys.stderr, flush=True)
+            del res
         paths = path
-        print(f"# shard {s}: build {bt:.1f}s, query {best:.3f}s "
-              f"({NQ/best:.0f} QPS), path={path}",
-              file=sys.stderr, flush=True)
-        del index, b, res
+        del index, b
         with open(out_path, "w") as f:  # partial record survives a kill
             json.dump({"status": f"shard {s+1}/{SH}",
                        "build_times": [round(x, 1) for x in build_times]},
                       f)
         tmp = ckpt_path + ".tmp.npz"
-        np.savez(tmp, s_done=np.int64(s + 1), ef=np.int64(EF),
+        np.savez(tmp, s_done=np.int64(s + 1),
+                 efs=np.asarray(EFS, np.int64), w=np.int64(W),
                  all_d=all_d, all_i=all_i, gt_ids=gt_ids,
                  build_times=np.asarray(build_times),
                  query_times=np.asarray(query_times), paths=paths)
@@ -176,38 +189,52 @@ def main():
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)  # all shards done; don't leak into a rerun
 
-    # exact merge: per-query sort of SH*K (distance, id) pairs
-    order = np.lexsort((all_i, all_d), axis=1)[:, :K]
-    merged = np.take_along_axis(all_i, order, axis=1)
-    recall = float(recall_at_k(merged[:NGT], gt_ids, K))
-
-    shard_qps = [NQ / t for t in query_times]
-    seq_qps = NQ / sum(query_times)
-    agg_qps = min(shard_qps)
+    # exact merge per ef: per-query sort of SH*K (distance, id) pairs
     build_total = sum(build_times)
-    rec = {
-        "metric": f"HNSW 10M sharded (k={K}, ef={EF}, n={N}, {SH} shards "
-                  f"x {PER}, {paths} per shard, synthetic "
-                  "1024-bit sketches)",
-        "value": round(seq_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(seq_qps / BASELINE_QPS, 3),
-        "recall_at_10": round(recall, 4),
-        "build_seconds": round(build_total, 1),
-        "build_seconds_parallel_projection": round(max(build_times), 1),
-        "n_points": N,
-        "n_queries": NQ,
-        "n_shards": SH,
-        "projected_16chip_qps": round(agg_qps, 1),
-        "projected_16chip_vs_baseline": round(agg_qps / BASELINE_QPS, 3),
-        "shard_qps_min_med_max": [round(min(shard_qps), 1),
-                                  round(sorted(shard_qps)[SH // 2], 1),
-                                  round(max(shard_qps), 1)],
-        "query_path": f"{paths}-per-shard + exact host merge",
-    }
-    print(json.dumps(rec))
+    sweep = []
+    best_rec = None
+    for e, ef in enumerate(EFS):
+        order = np.lexsort((all_i[e], all_d[e]), axis=1)[:, :K]
+        merged = np.take_along_axis(all_i[e], order, axis=1)
+        recall = float(recall_at_k(merged[:NGT], gt_ids, K))
+        shard_qps = [NQ / t for t in query_times[e]]
+        seq_qps = NQ / sum(query_times[e])
+        agg_qps = min(shard_qps)
+        rec = {
+            "metric": f"HNSW 10M sharded (k={K}, ef={ef}, n={N}, {SH} "
+                      f"shards x {PER}, W={W}, {paths} per shard, "
+                      "synthetic 1024-bit sketches)",
+            "value": round(seq_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(seq_qps / BASELINE_QPS, 3),
+            "recall_at_10": round(recall, 4),
+            "build_seconds": round(build_total, 1),
+            "build_seconds_parallel_projection": round(max(build_times), 1),
+            "n_points": N,
+            "n_queries": NQ,
+            "n_shards": SH,
+            "projected_16chip_qps": round(agg_qps, 1),
+            "projected_16chip_vs_baseline": round(agg_qps / BASELINE_QPS, 3),
+            "shard_qps_min_med_max": [round(min(shard_qps), 1),
+                                      round(sorted(shard_qps)[SH // 2], 1),
+                                      round(max(shard_qps), 1)],
+            "query_path": f"{paths}-per-shard + exact host merge",
+        }
+        sweep.append({"ef": ef, "recall_at_10": rec["recall_at_10"],
+                      "projected_16chip_qps": rec["projected_16chip_qps"],
+                      "seq_qps": rec["value"], "_rec": rec})
+    # headline: fastest projected-mesh config meeting the 0.93 gate,
+    # else the highest-recall one
+    gated = [s for s in sweep if s["recall_at_10"] >= 0.93]
+    pick = (max(gated, key=lambda s: s["projected_16chip_qps"]) if gated
+            else max(sweep, key=lambda s: s["recall_at_10"]))
+    best_rec = pick["_rec"]
+    for s in sweep:
+        del s["_rec"]
+    best_rec["ef_sweep"] = sweep
+    print(json.dumps(best_rec))
     with open(out_path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump(best_rec, f, indent=1)
 
 
 if __name__ == "__main__":
