@@ -31,6 +31,9 @@ stage() {
 
 stage overhead python benches/exp_overhead.py
 stage w32     env BENCH_W=32 python bench.py
+# one build pass, queried at ef 48 AND 32: ef=48 already measured 0.9995
+# recall — if ef=32 holds the gate the projected-mesh QPS jumps ~1.5x
+stage shardef env BENCH_EF=48,32 python benches/run_sharded_10m.py
 
 if [ -n "$FAILED" ]; then
   echo "=== queue complete; FAILED stages:$FAILED ==="
