@@ -51,6 +51,7 @@ beam that matters). Larger indexes use the two-plane DMA kernel
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -662,6 +663,15 @@ def fused_beam_search(
     if half > LANES:
         raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
     span = max(32, _next_pow2(ef), _next_pow2(W))
+    if packed == "auto":
+        # ops escape hatch: HNSW_TPU_PACKED in {auto, never, always,
+        # span64} — span64 keeps the packed kernel but pins two queries
+        # per row (the hardware-proven config) if the four-per-row
+        # span-32 lowering ever misbehaves on a new toolchain.
+        packed = os.environ.get("HNSW_TPU_PACKED", "auto")
+    if packed == "span64":
+        span = max(64, span)
+        packed = "auto"
     max_d = key_clamp(id_bits, max_d)
     key_inf = (max_d + 1) << id_bits
     qt = query_tiles(queries, W)  # [B, words//REP, 128]
