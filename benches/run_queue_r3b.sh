@@ -34,6 +34,10 @@ stage w32     env BENCH_W=32 python bench.py
 # one build pass, queried at ef 48 AND 32: ef=48 already measured 0.9995
 # recall — if ef=32 holds the gate the projected-mesh QPS jumps ~1.5x
 stage shardef env BENCH_EF=48,32 python benches/run_sharded_10m.py
+# scanned-build wall-clock A/B at 500k (ROADMAP gap 2: grouped dispatch
+# is gated OFF at >=1M, so 500k is the largest size that exercises it)
+stage scan1  env BENCH_N=500000 HNSW_TPU_SCAN_GROUP=1 python bench.py
+stage scan8  env BENCH_N=500000 HNSW_TPU_SCAN_GROUP=8 python bench.py
 
 if [ -n "$FAILED" ]; then
   echo "=== queue complete; FAILED stages:$FAILED ==="
