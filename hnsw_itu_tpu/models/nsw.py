@@ -23,6 +23,7 @@ from ..graph import GraphArrays, make_graph
 from ..ops.entry import sampled_entry
 from ..ops.metrics import Metric, get_metric
 from ..ops.search import batched_beam_search
+from ..ops.topk import inverse_permutation
 from . import _build
 from .base import ID_INF, IndexOptions, KnnResult
 
@@ -234,7 +235,7 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
         sort_q = bool(sort_queries)
     if sort_q:
         order = jnp.argsort(d0)
-        inv = jnp.argsort(order)
+        inv = inverse_permutation(order)
         qs, d0, eps = qs[order], d0[order], eps[order]
     init = (jnp.minimum(d0, max_d) << id_bits) | eps
     keys, vis, stp = fused_beam_search(
@@ -341,7 +342,7 @@ def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
     ).astype(jnp.int32)
     # entry-distance sort: see _query_step_fused
     order = jnp.argsort(d0)
-    inv = jnp.argsort(order)
+    inv = inverse_permutation(order)
     outd, outi, vis, stp = mini_beam_search(
         mini, qs[order], d0[order], eps[order], ef=max(ef, k), W=W,
         mini_words=mini_words, max_steps=max_steps, block_q=block_q,

@@ -15,6 +15,17 @@ import jax
 import jax.numpy as jnp
 
 
+def inverse_permutation(order: jax.Array) -> jax.Array:
+    """Inverse of a permutation vector via scatter — one store per element
+    instead of the full second bitonic sort that ``argsort(order)`` costs
+    on TPU (the batch-sort/unsort pattern pays this every query batch)."""
+    return (
+        jnp.zeros_like(order)
+        .at[order]
+        .set(jnp.arange(order.shape[0], dtype=order.dtype))
+    )
+
+
 def sort_by_dist(d: jax.Array, i: jax.Array, *extras: jax.Array):
     """Sort parallel arrays ascending by (distance, id). Returns the same
     tuple structure sorted along the last axis."""

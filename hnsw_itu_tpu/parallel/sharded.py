@@ -37,6 +37,7 @@ from ..models.base import ID_INF, KnnResult
 from ..models.nsw import NSWBuilder
 from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
+from ..ops.topk import inverse_permutation
 from .mesh import AXIS, make_mesh, replicate, shard_leading
 
 
@@ -142,7 +143,7 @@ def _sharded_query_step_fused(
         # entry-distance sort per shard (each shard's own order), undone
         # before the cross-shard merge
         order = jnp.argsort(d0)
-        inv = jnp.argsort(order)
+        inv = inverse_permutation(order)
         init = (jnp.minimum(d0[order], max_d) << id_bits) | eps[order]
         keys, _, _ = fused_beam_search(
             table, q[order], init, ef=max(ef, k), W=W, words=words,

@@ -56,3 +56,16 @@ def test_bitset_masked_insert():
     m = bitset.insert(m, ids, jnp.array([True, False]))
     assert bool(bitset.contains(m, jnp.array([3]))[0])
     assert not bool(bitset.contains(m, jnp.array([7]))[0])
+
+
+def test_inverse_permutation():
+    import numpy as np
+
+    from hnsw_itu_tpu.ops.topk import inverse_permutation
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 512):
+        p = rng.permutation(n).astype(np.int32)
+        inv = np.asarray(inverse_permutation(jnp.asarray(p)))
+        assert (p[inv] == np.arange(n)).all()
+        assert (inv[p] == np.arange(n)).all()
