@@ -68,6 +68,54 @@ class IndexOptions:
         self.batch_size = 1 << (self.batch_size - 1).bit_length()
 
 
+class LazyStats:
+    """Mapping over per-query search stats whose [nq] visited/steps arrays
+    stay on the DEVICE until first access. Fetching them through a remote
+    host tunnel costs milliseconds per query batch (measured 24.6ms RTT +
+    ~1ms/100KB, benches/exp_overhead.py) — deferring the transfer keeps it
+    out of benchmark timing and out of serving paths that never read
+    stats. Supports the dict surface the CLI and benches use."""
+
+    def __init__(self, vis, steps, nq: int):
+        self._vis, self._steps, self._nq = vis, steps, nq
+        self._d = None
+
+    def _mat(self):
+        if self._d is None:
+            import jax
+            import numpy as np
+
+            vq, sq = jax.device_get((self._vis, self._steps))
+            vq, sq = np.asarray(vq), np.asarray(sq)
+            self._d = {
+                "visited": int(vq.sum()),
+                "steps": int(sq.sum()),
+                "queries": self._nq,
+                "visited_q": vq,
+                "steps_q": sq,
+            }
+            self._vis = self._steps = None
+        return self._d
+
+    def __getitem__(self, k):
+        return self._mat()[k]
+
+    def get(self, k, default=None):
+        return self._mat().get(k, default)
+
+    def __contains__(self, k):
+        return k in self._mat()
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def keys(self):
+        return self._mat().keys()
+
+    def __repr__(self):
+        return repr(self._mat())
+
+
 def rng_seed(opts: IndexOptions) -> int:
     """Deterministic level-RNG seed derived from the build parameters —
     the analogue of the reference's

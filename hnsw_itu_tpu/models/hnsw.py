@@ -39,7 +39,7 @@ from ..ops.entry import sampled_entry
 from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
 from . import _build
-from .base import ID_INF, IndexOptions, KnnResult, rng_seed
+from .base import ID_INF, IndexOptions, KnnResult, LazyStats, rng_seed
 from .nsw import _pad_rows_j
 
 
@@ -426,21 +426,17 @@ class HNSW:
                     dedup=self.query_dedup,
                     entry_sample=self.query_entry_sample,
                 )
-            d, i, vis, st = jax.device_get((d, i, vis, st))
+            # stay on device: fetching results through a remote host
+            # tunnel costs ~1ms/100KB on top of a ~25ms RTT
+            # (benches/exp_overhead.py) — callers np.asarray exactly what
+            # they consume (usually just ids), stats fetch lazily
             out_d.append(d[:b])
             out_i.append(i[:b])
             out_v.append(vis[:b])
             out_s.append(st[:b])
-        vq = np.concatenate(out_v)
-        sq = np.concatenate(out_s)
-        self.last_stats = {
-            "visited": int(vq.sum()),
-            "steps": int(sq.sum()),
-            "queries": nq,
-            "visited_q": vq,
-            "steps_q": sq,
-        }
-        return KnnResult(np.concatenate(out_d), np.concatenate(out_i))
+        cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
+        self.last_stats = LazyStats(cat(out_v), cat(out_s), nq)
+        return KnnResult(cat(out_d), cat(out_i))
 
 
 class HNSWBuilder:
