@@ -199,11 +199,11 @@ def _fused_query_eligible(points, adj, metric) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
-                     "W", "block_q", "sort_queries"),
+                     "W", "block_q", "sort_queries", "packed"),
 )
 def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
                       max_steps, entry_sample, W, block_q, eps=None,
-                      sort_queries=None):
+                      sort_queries=None, packed="auto"):
     """Fused-kernel query step: sampled (or fixed) entry + packed init keys
     in XLA, then the whole beam loop in one Pallas kernel."""
     from ..ops.pallas_search import fused_beam_search, key_clamp
@@ -240,7 +240,7 @@ def _query_step_fused(points, fused, qs, ep, n=None, *, k, ef, metric_name,
     init = (jnp.minimum(d0, max_d) << id_bits) | eps
     keys, vis, stp = fused_beam_search(
         fused, qs, init, ef=max(ef, k), W=W, words=words, id_bits=id_bits,
-        max_d=max_d, max_steps=max_steps, block_q=block_q,
+        max_d=max_d, max_steps=max_steps, block_q=block_q, packed=packed,
         interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
     )
     if sort_q:
