@@ -99,8 +99,12 @@ def main():
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}", file=sys.stderr)
 
-    # timed query runs (first run includes compile; take best of 2 after)
-    index.query_batch = 8192
+    # timed query runs (first run includes compile; take best of 2 after).
+    # One batch for all NQ queries (padded to a 512 block multiple): a
+    # single kernel dispatch replaces the 8192+1808 split — fewer eager
+    # device ops (each ~3ms of tunnel time, benches/exp_overhead.py) and
+    # no concat of partial results.
+    index.query_batch = max(8192, -(-NQ // 512) * 512)
     index.query_entry_sample = 1024
     index.max_steps = CAP  # None = auto (2*ef)
     index.enable_inline()

@@ -40,7 +40,7 @@ from ..ops.metrics import get_metric
 from ..ops.search import batched_beam_search
 from . import _build
 from .base import ID_INF, IndexOptions, KnnResult, LazyStats, rng_seed
-from .nsw import _pad_rows_j
+from .nsw import _dev_i32, _pad_rows_j, _trim_rows_j
 
 
 class Level(NamedTuple):
@@ -358,7 +358,7 @@ class HNSW:
             and self.query_expand == 1
         )
         for s in range(0, nq, B):
-            q = qs[s : s + B]
+            q = qs if nq <= B else qs[s : s + B]
             b = q.shape[0]
             if use_mini:
                 from .nsw import _fused_batch
@@ -369,9 +369,9 @@ class HNSW:
                     levels,
                     self.mini,
                     _pad_rows_j(q, bp),
-                    jnp.int32(self.ep),
+                    _dev_i32(self, "ep", self.ep),
                     self.level_adj_pts,
-                    jnp.int32(self.n),
+                    _dev_i32(self, "n", self.n),
                     self.base.adj,
                     k=k,
                     ef=ef,
@@ -394,9 +394,9 @@ class HNSW:
                     levels,
                     self.fused,
                     _pad_rows_j(q, bp),
-                    jnp.int32(self.ep),
+                    _dev_i32(self, "ep", self.ep),
                     self.level_adj_pts,
-                    jnp.int32(self.n),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -413,10 +413,10 @@ class HNSW:
                     levels,
                     self.base.adj,
                     _pad_rows_j(q, bp),
-                    jnp.int32(self.ep),
+                    _dev_i32(self, "ep", self.ep),
                     self.adj_pts,
                     self.level_adj_pts,
-                    jnp.int32(self.n),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -430,10 +430,10 @@ class HNSW:
             # tunnel costs ~1ms/100KB on top of a ~25ms RTT
             # (benches/exp_overhead.py) — callers np.asarray exactly what
             # they consume (usually just ids), stats fetch lazily
-            out_d.append(d[:b])
-            out_i.append(i[:b])
-            out_v.append(vis[:b])
-            out_s.append(st[:b])
+            out_d.append(_trim_rows_j(d, b))
+            out_i.append(_trim_rows_j(i, b))
+            out_v.append(_trim_rows_j(vis, b))
+            out_s.append(_trim_rows_j(st, b))
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
         self.last_stats = LazyStats(cat(out_v), cat(out_s), nq)
         return KnnResult(cat(out_d), cat(out_i))

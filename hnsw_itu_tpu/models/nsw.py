@@ -44,6 +44,28 @@ def _pad_rows_j(x: jax.Array, to: int) -> jax.Array:
     )
 
 
+def _dev_i32(obj, name: str, val: int) -> jax.Array:
+    """Cached device scalar on ``obj``: a fresh ``jnp.int32(v)`` per knns
+    batch is an eager device_put — a full tunnel upload on remote backends.
+    ep/n are fixed once an index is built, so upload each value once."""
+    cache = getattr(obj, "_scalar_cache", None)
+    if cache is None:
+        cache = obj._scalar_cache = {}
+    hit = cache.get(name)
+    if hit is None or hit[0] != val:
+        hit = (val, jnp.int32(val))
+        cache[name] = hit
+    return hit[1]
+
+
+def _trim_rows_j(x: jax.Array, to: int) -> jax.Array:
+    """x[:to], skipping the identity slice: every EAGER device op is its
+    own program dispatch, and on the remote tunnel backend a dispatch
+    costs milliseconds — benches/exp_overhead.py measured ~16ms of
+    identity slices wrapped around a 17ms kernel (a. vs f.)."""
+    return x if x.shape[0] == to else x[:to]
+
+
 def _fused_batch(b: int, max_block: int | None = None) -> tuple[int, int]:
     """(padded batch, block_q) for the fused kernel: the kernel requires
     batch % block_q == 0, so small batches round up to a power of two and
@@ -487,7 +509,7 @@ class NSW:
             and self.query_expand == 1
         )
         for s in range(0, nq, B):
-            q = qs[s : s + B]
+            q = qs if nq <= B else qs[s : s + B]
             b = q.shape[0]
             if use_fused or use_mini:
                 bp, block_q = _fused_batch(b)
@@ -499,8 +521,8 @@ class NSW:
                     self.points,
                     self.mini,
                     jnp.asarray(qb),
-                    jnp.int32(self.ep),
-                    jnp.int32(self.n),
+                    _dev_i32(self, "ep", self.ep),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -519,8 +541,8 @@ class NSW:
                     self.points,
                     self.fused,
                     jnp.asarray(qb),
-                    jnp.int32(self.ep),
-                    jnp.int32(self.n),
+                    _dev_i32(self, "ep", self.ep),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -535,8 +557,8 @@ class NSW:
                     self.graph.adj,
                     self.adj_pts,
                     jnp.asarray(qb),
-                    jnp.int32(self.ep),
-                    jnp.int32(self.n),
+                    _dev_i32(self, "ep", self.ep),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -549,8 +571,8 @@ class NSW:
                     self.points,
                     self.graph.adj,
                     jnp.asarray(qb),
-                    jnp.int32(self.ep),
-                    jnp.int32(self.n),
+                    _dev_i32(self, "ep", self.ep),
+                    _dev_i32(self, "n", self.n),
                     k=k,
                     ef=ef,
                     metric_name=self.metric.name,
@@ -563,10 +585,10 @@ class NSW:
             # tunnel costs ~1ms/100KB on top of a ~25ms RTT
             # (benches/exp_overhead.py) — callers np.asarray exactly what
             # they consume (usually just ids), stats fetch lazily
-            out_d.append(d[:b])
-            out_i.append(i[:b])
-            out_v.append(vis[:b])
-            out_s.append(st[:b])
+            out_d.append(_trim_rows_j(d, b))
+            out_i.append(_trim_rows_j(i, b))
+            out_v.append(_trim_rows_j(vis, b))
+            out_s.append(_trim_rows_j(st, b))
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
         self.last_stats = LazyStats(cat(out_v), cat(out_s), nq)
         return KnnResult(cat(out_d), cat(out_i))
