@@ -41,8 +41,14 @@ def main():
     # BENCH_N > 200k the cap reverts to the auto 2*ef (a hard ef cap costs
     # ~2.3 recall points at 1M, measured round 2)
     EF = int(os.environ.get("BENCH_EF", 32))
-    CAP = os.environ.get("BENCH_CAP")
-    CAP = int(CAP) if CAP else (EF if N <= 200_000 else None)
+    CAP_ENV = os.environ.get("BENCH_CAP")
+
+    def cap_for(ef):
+        # the knee sits at cap == ef for <=200k (exp_r3e.py); past that a
+        # hard ef cap costs ~2.3 recall points (round 2) so auto = 2*ef
+        if CAP_ENV:
+            return int(CAP_ENV)
+        return ef if N <= 200_000 else None
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions
     from hnsw_itu_tpu.models.hnsw import HNSWBuilder
@@ -106,13 +112,13 @@ def main():
     # no concat of partial results.
     index.query_batch = max(8192, -(-NQ // 512) * 512)
     index.query_entry_sample = 1024
-    index.max_steps = CAP  # None = auto (2*ef)
     index.enable_inline()
     import jax.numpy as jnp
 
     qs_dev = jnp.asarray(qs)  # stage queries on device once (tunnel hop)
 
     def run_ef(ef):
+        index.max_steps = cap_for(ef)  # None = auto (2*ef)
         # compile warmup covers BOTH batch shapes (8192 and the tail)
         np.asarray(index.knns(qs_dev, K, ef).ids[:1])
         best = float("inf")
