@@ -1,0 +1,101 @@
+"""On-chip query throughput, tunnel RTT excluded.
+
+The tunnel-measured headline (bench.py) pays ~25 ms of relay RTT per
+measurement — a deployment artifact, not a chip property (a production
+serving host drives the chip locally). This measures the device-only
+rate by slope: time R back-to-back ``knns`` dispatches (results stay on
+device; one 1-row fetch at the end is the only sync), for R=1 and R=1+S.
+The slope (T_big - T_small) / S is the pure on-device time per 10k-query
+run — the RTT and the final fetch cancel.
+
+Usage: python benches/exp_deviceonly.py   (env: BENCH_N, BENCH_EF, BENCH_CAP)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from hnsw_itu_tpu.utils.compile_cache import enable
+    from hnsw_itu_tpu.utils.tunnel import require_device
+
+    enable()
+    require_device()
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.models import Bruteforce, IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.utils import recall_at_k
+    from hnsw_itu_tpu.utils.synth import make_dataset
+
+    N = int(os.environ.get("BENCH_N", 100_000))
+    NQ, K = 10_000, 10
+    EF = int(os.environ.get("BENCH_EF", 32))
+    CAP = os.environ.get("BENCH_CAP")
+    CAP = int(CAP) if CAP else (EF if N <= 200_000 else None)
+    pts, qs = make_dataset(0, N, NQ)
+
+    np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    bf = Bruteforce("hamming")
+    bf.extend(pts)
+    gt = np.asarray(bf.build().knns(qs, K).ids)
+    del bf
+
+    opts = IndexOptions(ef_construction=96, connections=24,
+                        max_connections=64, size=N, batch_size=256,
+                        host_warmup=min(50_000, N))
+    t0 = time.perf_counter()
+    b = HNSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    index = b.build()
+    np.asarray(index.base.deg[:1])
+    print(f"# build {time.perf_counter()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    index.query_batch = max(8192, -(-NQ // 512) * 512)
+    index.query_entry_sample = 1024
+    index.max_steps = CAP
+    index.enable_inline()
+    qs_dev = jnp.asarray(qs)
+
+    res = index.knns(qs_dev, K, EF)  # compile + correctness anchor
+    rec = float(recall_at_k(np.asarray(res.ids), gt, K))
+
+    def timed(reps: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(reps):
+                last = index.knns(qs_dev, K, EF)
+            np.asarray(last.ids[:1])  # single sync for the whole train
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    S = 10
+    t1, t11 = timed(1), timed(1 + S)
+    dev_s = (t11 - t1) / S
+    out = {
+        "metric": f"on-chip HNSW QPS (k={K}, ef={EF}, cap={CAP}, n={N}, "
+                  "RTT excluded by dispatch-train slope)",
+        "value": round(NQ / dev_s, 1),
+        "unit": "qps",
+        "vs_baseline": round(NQ / dev_s / 26_400, 3),
+        "recall_at_10": round(rec, 4),
+        "device_seconds_per_10k": round(dev_s, 5),
+        "t_single": round(t1, 5),
+        "t_train": round(t11, 5),
+        "train_reps": 1 + S,
+        "n_points": N,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
