@@ -174,7 +174,9 @@ def main():
             del res
         paths = path
         del index, b
-        with open(out_path, "w") as f:  # partial record survives a kill
+        # partial record survives a kill — in a SIDE file, so an aborted
+        # run never clobbers the last committed full artifact
+        with open(out_path + ".partial", "w") as f:
             json.dump({"status": f"shard {s+1}/{SH}",
                        "build_times": [round(x, 1) for x in build_times]},
                       f)
@@ -235,6 +237,8 @@ def main():
     print(json.dumps(best_rec))
     with open(out_path, "w") as f:
         json.dump(best_rec, f, indent=1)
+    if os.path.exists(out_path + ".partial"):
+        os.remove(out_path + ".partial")
 
 
 if __name__ == "__main__":
