@@ -67,7 +67,11 @@ def main():
     # (measured 177s for a first 13MB upload vs 0.6s for the next 26MB)
     import jax.numpy as _jnp
 
+    from hnsw_itu_tpu.utils.tunnel import contact_watchdog
+
+    _disarm = contact_watchdog()
     np.asarray(_jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    _disarm()
     print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr)
 

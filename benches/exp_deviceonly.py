@@ -41,7 +41,12 @@ def main():
     CAP = int(CAP) if CAP else (EF if N <= 200_000 else None)
     pts, qs = make_dataset(0, N, NQ)
 
+    from hnsw_itu_tpu.utils.tunnel import contact_watchdog
+
+    disarm = contact_watchdog()
     np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    disarm()
+    print("# device session up", file=sys.stderr, flush=True)
     bf = Bruteforce("hamming")
     bf.extend(pts)
     gt = np.asarray(bf.build().knns(qs, K).ids)

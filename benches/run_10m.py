@@ -54,7 +54,11 @@ def main():
           file=sys.stderr, flush=True)
 
     # device session warm-up (see bench.py)
+    from hnsw_itu_tpu.utils.tunnel import contact_watchdog
+
+    disarm = contact_watchdog()
     np.asarray(jnp.asarray(np.ones((4096, 128), np.uint32)) + 1)
+    disarm()
     print(f"# device session up at {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr, flush=True)
 

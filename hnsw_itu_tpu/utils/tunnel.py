@@ -45,3 +45,38 @@ def require_device(exit_code: int = 2, platforms: str | None = None) -> None:
             file=sys.stderr,
         )
         sys.exit(exit_code)
+
+
+def contact_watchdog(seconds: float = 420.0, exit_code: int = 3):
+    """Arm a watchdog for FIRST device contact; returns a disarm() callable.
+
+    A second relay failure mode (observed 2026-08-20, after the outright
+    port-closed death relay_alive() covers): the relay still ACCEPTS TCP
+    but the backend behind it is wedged, and jax hangs forever inside C++
+    device init — uninterruptible by Python signal handlers. The only
+    reliable escape is a daemon thread that ``os._exit``\\ s the process if
+    the caller doesn't disarm within ``seconds`` (cold first contact
+    measured up to ~180 s; the default leaves >2x headroom). Usage::
+
+        disarm = contact_watchdog()
+        np.asarray(jnp.zeros(8) + 1)   # first device contact
+        disarm()
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _bomb():
+        if not done.wait(seconds):
+            print(
+                f"ERROR: first device contact did not complete within "
+                f"{seconds:.0f}s — the relay accepted TCP but the backend "
+                f"is wedged; exiting instead of hanging forever.",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(exit_code)
+
+    threading.Thread(target=_bomb, daemon=True).start()
+    return done.set
