@@ -65,6 +65,7 @@ def contact_watchdog(seconds: float = 420.0, exit_code: int = 3):
     import os
     import threading
 
+    seconds = float(os.environ.get("HNSW_TPU_CONTACT_TIMEOUT", seconds))
     done = threading.Event()
 
     def _bomb():
