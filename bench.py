@@ -7,8 +7,21 @@ synthetic 1024-bit sketches with perturbed-point queries, measures exact
 recall against the MXU brute-force oracle, and reports batched QPS on one
 TPU chip. Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": QPS/26400, ...}
+plus tunnel-decomposition fields: "device_qps" (dispatch-train slope — the
+on-chip rate with the ~25 ms relay RTT excluded, benches/exp_deviceonly.py
+method) and "rtt_ms" (measured 1-row fetch round trip).
 
-Scale knobs via env: BENCH_N (default 100_000), BENCH_Q (default 5_000).
+The run is SUPERVISED against the two observed relay death modes (tunnel.py):
+an outright-dead relay (fast rc=2) and a wedged backend behind a live TCP
+port (contact watchdog rc=3, or a mid-run hang killed at BENCH_CHILD_TIMEOUT).
+The supervisor re-launches the benchmark child with backoff until the
+contact-retry budget (default 15 min) runs out — a transient relay wedge
+(BENCH_r03 died this way) costs a retry, not the round's number.
+
+The recall gate is ENFORCED: recall@10 < 0.93 prints an error JSON and exits
+nonzero instead of reporting a healthy-looking QPS.
+
+Scale knobs via env: BENCH_N (default 100_000), BENCH_Q (default 10_000).
 """
 
 import json
@@ -20,6 +33,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+RECALL_GATE = 0.93
+
+
+def supervise() -> int:
+    """Re-run this script as a child and retry device-contact failures.
+
+    rc 2 (relay TCP-dead) and rc 3 (backend wedged behind a live port) are
+    transient tunnel states — observed to clear within minutes when the
+    relay restarts — so they are retried with backoff while the budget
+    lasts. Any other nonzero rc (real failure, e.g. the recall gate) is
+    final. A child that exceeds BENCH_CHILD_TIMEOUT (mid-run relay death
+    hangs jax forever at the next fetch) is killed and counted as rc 3.
+    """
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_CONTACT_RETRY_S", 900))
+    child_cap = float(os.environ.get("BENCH_CHILD_TIMEOUT", 2700))
+    deadline = time.monotonic() + budget
+    env = dict(os.environ, HNSW_BENCH_CHILD="1")
+    attempt = 0
+    while True:
+        attempt += 1
+        proc = subprocess.Popen([sys.executable] + sys.argv, env=env)
+        try:
+            rc = proc.wait(timeout=child_cap)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print(f"# bench child exceeded {child_cap:.0f}s (mid-run relay "
+                  "hang?) — killed", file=sys.stderr, flush=True)
+            rc = 3
+        if rc not in (2, 3):
+            return rc  # success, or a real (non-tunnel) failure
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"# giving up after {attempt} attempts: device contact "
+                  "budget exhausted", file=sys.stderr, flush=True)
+            return rc
+        sleep = min(120.0, 20.0 * attempt, max(1.0, remaining))
+        print(f"# attempt {attempt} failed with rc={rc}; retrying in "
+              f"{sleep:.0f}s ({remaining:.0f}s of retry budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep)
+
 
 def main():
     from hnsw_itu_tpu.utils.compile_cache import enable as enable_compile_cache
@@ -30,9 +87,9 @@ def main():
     t_start = time.perf_counter()
     N = int(os.environ.get("BENCH_N", 100_000))
     # 10k queries = the reference benchmark's own query count
-    # (README.md:181). Batches of 8192 + 1808 — since knns stopped
-    # fetching per batch, the second batch pipelines behind the first on
-    # the device and the ~25ms tunnel RTT is paid once, not per batch.
+    # (README.md:181). One padded batch — since knns stopped fetching per
+    # batch, everything pipelines on device and the ~25ms tunnel RTT is
+    # paid once, not per batch.
     NQ = int(os.environ.get("BENCH_Q", 10_000))
     K = 10
     # ef=32 with a hard step cap of 32 holds recall@10 ~0.993 on this data
@@ -41,13 +98,14 @@ def main():
     # BENCH_N > 200k the cap reverts to the auto 2*ef (a hard ef cap costs
     # ~2.3 recall points at 1M, measured round 2)
     EF = int(os.environ.get("BENCH_EF", 32))
+    # BENCH_CAP: step cap override; parsed once, 0 = explicit auto (2*ef),
+    # unset = ef for <=200k else auto (the measured knee, exp_r3e.py)
     CAP_ENV = os.environ.get("BENCH_CAP")
+    CAP_ENV = int(CAP_ENV) if CAP_ENV not in (None, "") else None
 
     def cap_for(ef):
-        # the knee sits at cap == ef for <=200k (exp_r3e.py); past that a
-        # hard ef cap costs ~2.3 recall points (round 2) so auto = 2*ef
-        if CAP_ENV:
-            return int(CAP_ENV)
+        if CAP_ENV is not None:
+            return CAP_ENV if CAP_ENV > 0 else None
         return ef if N <= 200_000 else None
 
     from hnsw_itu_tpu.models import Bruteforce, IndexOptions
@@ -123,7 +181,7 @@ def main():
 
     def run_ef(ef):
         index.max_steps = cap_for(ef)  # None = auto (2*ef)
-        # compile warmup covers BOTH batch shapes (8192 and the tail)
+        # compile warmup
         np.asarray(index.knns(qs_dev, K, ef).ids[:1])
         best = float("inf")
         for _ in range(2):
@@ -147,10 +205,34 @@ def main():
             run_ef(int(ef_x))
     best, recall = run_ef(EF)
     qps = NQ / best
+
+    # tunnel decomposition at the headline config: the measured QPS pays
+    # the relay RTT (a deployment artifact — production serving drives the
+    # chip locally). device_qps isolates the on-chip rate by dispatch-train
+    # slope: (T(1+S trains) - T(1)) / S cancels RTT + the final fetch.
+    def train(reps):
+        best_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(reps):
+                last = index.knns(qs_dev, K, EF)
+            np.asarray(last.ids[:1])
+            best_t = min(best_t, time.perf_counter() - t0)
+        return best_t
+
+    S = 6
+    dev_s = (train(1 + S) - train(1)) / S
+    device_qps = NQ / dev_s
+    rtt = min(
+        _timeit(lambda: np.asarray(index.base.deg[:1])) for _ in range(3)
+    )
+    print(f"# device-only: {device_qps:.0f} qps ({dev_s*1e3:.1f} ms/10k), "
+          f"rtt {rtt*1e3:.1f} ms", file=sys.stderr)
     print(f"# total bench time {time.perf_counter()-t_start:.0f}s",
           file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": f"HNSW batched QPS (k={K}, ef={EF}, n={N}, synthetic "
                   f"1024-bit sketches, recall gate)",
         "value": round(qps, 1),
@@ -160,8 +242,29 @@ def main():
         "build_seconds": round(build_s, 1),
         "n_points": N,
         "n_queries": NQ,
-    }))
+        # on-chip rate, relay RTT excluded (dispatch-train slope). NOT
+        # comparable to vs_baseline's end-to-end denominator — labeled so
+        # the caveat travels with the number (ADVICE round 3).
+        "device_qps": round(device_qps, 1),
+        "device_qps_rtt_excluded": True,
+        "rtt_ms": round(rtt * 1e3, 2),
+    }
+    if recall < RECALL_GATE:
+        record["error"] = (f"recall@10 {recall:.4f} below the {RECALL_GATE} "
+                           "gate — QPS void")
+        print(json.dumps(record))
+        sys.exit(4)
+    print(json.dumps(record))
+
+
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HNSW_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(supervise())

@@ -91,7 +91,11 @@ def main():
                   "RTT excluded by dispatch-train slope)",
         "value": round(NQ / dev_s, 1),
         "unit": "qps",
-        "vs_baseline": round(NQ / dev_s / 26_400, 3),
+        # NOT end-to-end vs end-to-end: the numerator excludes the relay
+        # RTT while the 26.4k denominator is the reference's full-path
+        # number — the flag travels with the field (ADVICE round 3)
+        "vs_baseline_rtt_excluded": round(NQ / dev_s / 26_400, 3),
+        "rtt_excluded": True,
         "recall_at_10": round(rec, 4),
         "device_seconds_per_10k": round(dev_s, 5),
         "t_single": round(t1, 5),

@@ -11,6 +11,10 @@ set -o pipefail
 MAX=5
 if [[ "$1" =~ ^[0-9]+$ ]]; then MAX=$1; shift; fi
 [ "$1" = "--" ] && shift
+if [ $# -lt 1 ]; then
+  echo "usage: retry_contact.sh [max_attempts] -- <command...>" >&2
+  exit 64
+fi
 export HNSW_TPU_CONTACT_TIMEOUT="${HNSW_TPU_CONTACT_TIMEOUT:-240}"
 for ((i = 1; i <= MAX; i++)); do
   echo "=== attempt $i/$MAX: $*" >&2

@@ -47,7 +47,7 @@ def require_device(exit_code: int = 2, platforms: str | None = None) -> None:
         sys.exit(exit_code)
 
 
-def contact_watchdog(seconds: float = 420.0, exit_code: int = 3):
+def contact_watchdog(seconds: float | None = None, exit_code: int = 3):
     """Arm a watchdog for FIRST device contact; returns a disarm() callable.
 
     A second relay failure mode (observed 2026-08-20, after the outright
@@ -56,7 +56,9 @@ def contact_watchdog(seconds: float = 420.0, exit_code: int = 3):
     device init — uninterruptible by Python signal handlers. The only
     reliable escape is a daemon thread that ``os._exit``\\ s the process if
     the caller doesn't disarm within ``seconds`` (cold first contact
-    measured up to ~180 s; the default leaves >2x headroom). Usage::
+    measured up to ~180 s; the default leaves >2x headroom). An explicit
+    ``seconds`` argument wins; the HNSW_TPU_CONTACT_TIMEOUT env var only
+    replaces the 420 s default. Usage::
 
         disarm = contact_watchdog()
         np.asarray(jnp.zeros(8) + 1)   # first device contact
@@ -65,7 +67,8 @@ def contact_watchdog(seconds: float = 420.0, exit_code: int = 3):
     import os
     import threading
 
-    seconds = float(os.environ.get("HNSW_TPU_CONTACT_TIMEOUT", seconds))
+    if seconds is None:
+        seconds = float(os.environ.get("HNSW_TPU_CONTACT_TIMEOUT", 420.0))
     done = threading.Event()
 
     def _bomb():
