@@ -9,5 +9,6 @@ batched index construction, HDF5 ingest, index persistence and a CLI.
 
 from . import ops
 from .graph import GraphArrays, make_graph
+from .ops.metrics import Metric, get_metric, register_metric
 
 __version__ = "0.1.0"

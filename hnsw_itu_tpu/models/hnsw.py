@@ -569,9 +569,7 @@ class HNSWBuilder:
             # dataset row order), then insert per-level groups
             n0 = self.n
             if self.n + G * c > self.opts.size:
-                raise ValueError(
-                    "index capacity exceeded; raise IndexOptions.size"
-                )
+                NSWBuilder._grow_capacity(self, self.n + G * c)
             self.points = _build.write_points(
                 self.points, jnp.asarray(chunk), jnp.int32(n0)
             )
@@ -756,7 +754,9 @@ class HNSWBuilder:
         per-point level draw — hnsw.rs:183-244)."""
         c = chunk.shape[0]
         if self.n + c > self.opts.size:
-            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+            from .nsw import NSWBuilder
+
+            NSWBuilder._grow_capacity(self, self.n + c)
         first = self.ep is None
         n0 = self.n
         self.points = _build.write_points(

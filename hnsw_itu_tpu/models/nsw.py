@@ -617,6 +617,57 @@ class NSWBuilder:
         (unrecoverable by the prune pass; see _build.apply_inserts)."""
         return int(sum(int(np.asarray(d)) for d in self.edge_drops))
 
+    def _grow_capacity(self, need: int) -> None:
+        """Vec-growth parity (the reference's graph grows on push,
+        simplegraph.rs:82-87): when extend passes the preallocated
+        capacity, reallocate at the next power-of-two >= need and
+        continue instead of raising. Static-shape kernels recompile once
+        per doubling — the same amortized-copy contract as a Vec realloc.
+        The inline-row width (``inline_words``) chosen at first
+        allocation is kept: re-evaluating the budget at the new size
+        could shrink the prefix mid-build and mix estimate precisions in
+        one graph. Shared by HNSWBuilder (base layer; its level arrays
+        already grow via _grow_level)."""
+        import dataclasses
+
+        cap = self.opts.size
+        new = max(1, cap)
+        while new < need:
+            new *= 2
+        if new == cap:
+            return
+        pad = new - cap
+        self.opts = dataclasses.replace(self.opts, size=new)
+        self._node_map = jnp.arange(new, dtype=jnp.int32)
+        is_nsw = hasattr(self, "graph")
+        g = self.graph if is_nsw else self.base
+        g = GraphArrays(
+            jnp.concatenate(
+                [g.adj, jnp.full((pad, g.adj.shape[1]), -1, jnp.int32)]
+            ),
+            jnp.concatenate([g.deg, jnp.zeros((pad,), jnp.int32)]),
+        )
+        if is_nsw:
+            self.graph = g
+        else:
+            self.base = g
+        # spill is [cap+1, X] with the scatter junk row LAST; the old junk
+        # row holds garbage and must NOT become node ``cap``'s live spill
+        X = self.spill.shape[1]
+        self.spill = jnp.concatenate(
+            [self.spill[:-1], jnp.full((pad + 1, X), -1, jnp.int32)]
+        )
+        if self.points is not None:
+            self.points = jnp.concatenate([
+                self.points,
+                jnp.zeros((pad, *self.points.shape[1:]), self.points.dtype),
+            ])
+        if self.adj_pts is not None:
+            self.adj_pts = jnp.concatenate([
+                self.adj_pts,
+                jnp.zeros((pad, self.adj_pts.shape[1]), self.adj_pts.dtype),
+            ])
+
     # -- allocation ---------------------------------------------------------
     def _inline_build_words(self, sample: np.ndarray) -> int:
         """Width (in point words) of the inline build rows: full sketches
@@ -767,7 +818,7 @@ class NSWBuilder:
         — bit-identical to G ``_insert_chunk`` calls, minus G-1 donation
         copies and round trips."""
         if self.n + G * c > self.opts.size:
-            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+            self._grow_capacity(self.n + G * c)
         n0 = self.n
         S = min(self.opts.batch_size, c)
         (self.points, self.graph, self.adj_pts, self.spill,
@@ -887,7 +938,7 @@ class NSWBuilder:
         round trip, so the old per-window loop dominated build time."""
         c = chunk.shape[0]
         if self.n + c > self.opts.size:
-            raise ValueError("index capacity exceeded; raise IndexOptions.size")
+            self._grow_capacity(self.n + c)
         first = self.ep is None
         n0 = self.n
         if first:

@@ -8,6 +8,7 @@ from .metrics import (
     SquaredL2,
     SquaredL2Int,
     get_metric,
+    register_metric,
     pack_bits_u32,
     sketches_from_u64,
     sketches_to_u64,

@@ -193,6 +193,37 @@ def get_metric(name: str) -> Metric:
         ) from None
 
 
+def register_metric(metric: Metric, *, overwrite: bool = False) -> Metric:
+    """Register a user metric under ``metric.name`` — the public extension
+    point matching the reference's generic ``Point`` trait (any user type
+    with an integer ``distance``, src/index/mod.rs:45-47; demonstrated by
+    Point3D, examples/main.rs:7-11).
+
+    A metric is a ``Metric`` subclass providing at least ``one_to_many``
+    (the beam-search expansion shape); ``pairwise``/``pairwise_mxu`` have
+    working defaults, and ``max_distance`` may return a static bound to
+    enable packed (distance, id) sort keys. After registration the name
+    works everywhere a built-in does: builders (``NSWBuilder(opts,
+    metric="myname")``), ``Bruteforce``, serialization round trips
+    (utils/serialize.py stores the metric name), and the jitted query
+    steps (which re-resolve metrics by name through this registry).
+
+    See examples/custom_metric.py for an end-to-end custom integer metric.
+    Returns the metric for chaining.
+    """
+    if not isinstance(metric, Metric):
+        raise TypeError("register_metric expects a Metric instance")
+    if not metric.name or not isinstance(metric.name, str):
+        raise ValueError("metric.name must be a non-empty string")
+    if metric.name in _REGISTRY and not overwrite:
+        raise ValueError(
+            f"metric {metric.name!r} already registered "
+            "(pass overwrite=True to replace)"
+        )
+    _REGISTRY[metric.name] = metric
+    return metric
+
+
 @functools.lru_cache(maxsize=None)
 def _check_words(w):
     if w != SKETCH_WORDS_U32:

@@ -182,12 +182,13 @@ def _sharded_query_step_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("efc", "m", "metric_name", "expand", "prune_budget", "mesh"),
-    donate_argnums=(0, 1, 2),
+    donate_argnums=(0, 1, 2, 3),
 )
 def sharded_build_step(
     points_s,
     adj_s,
     deg_s,
+    spill_s,
     ep_s,
     n_s,
     chunk_s,
@@ -205,12 +206,18 @@ def sharded_build_step(
     Each device: append its chunk rows to its local point buffer, beam-search
     its local graph for neighbors (read-only phase), then apply the
     vectorized edge writes + degree-cap prunes (mutate phase). No
-    cross-device edges — shards are independent subgraphs.
+    cross-device edges — shards are independent subgraphs. The persistent
+    spill buffer is threaded through like the single-chip path
+    (_build.chunk_step), so reverse edges overflowing a full row survive
+    until that row is pruned, and unrecoverable drops are COUNTED per
+    shard (returned as int32[S] — mesh builds report edge-drop rates like
+    the single-chip path, cli.py).
     """
 
-    def step(points_b, adj_b, deg_b, ep_b, n_b, chunk_b, valid_b):
+    def step(points_b, adj_b, deg_b, spill_b, ep_b, n_b, chunk_b, valid_b):
         points, adj, deg = points_b[0], adj_b[0], deg_b[0]
         n, ep, chunk, valid = n_b[0], ep_b[0], chunk_b[0], valid_b[0]
+        spill = spill_b[0]
         c = chunk.shape[0]
         cap = points.shape[0]
 
@@ -229,17 +236,14 @@ def sharded_build_step(
             expand=expand,
         )
         new_ids = jnp.where(valid, n + jnp.arange(c, dtype=jnp.int32), -1)
-        # per-chunk spill (fresh buffer): recovers row-full overflow within
-        # the chunk; persistent spill state is not threaded through the
-        # sharded step (its chunks are large, so per-chunk covers most)
-        g, _, _, _ = _build.apply_inserts(
+        g, _, spill, dropped = _build.apply_inserts(
             points,
             node_map,
             GraphArrays(adj, deg),
             new_ids,
             sel_ids,
             None,
-            _build.make_spill(cap),
+            spill,
             metric_name=metric_name,
             prune_budget=prune_budget,
         )
@@ -248,28 +252,31 @@ def sharded_build_step(
             points[None],
             g.adj[None],
             g.deg[None],
+            spill[None],
             n_new[None],
+            dropped[None],
         )
 
     return jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(AXIS),) * 7,
-        out_specs=(P(AXIS),) * 4,
+        in_specs=(P(AXIS),) * 8,
+        out_specs=(P(AXIS),) * 6,
         check_vma=False,
-    )(points_s, adj_s, deg_s, ep_s, n_s, chunk_s, chunk_valid_s)
+    )(points_s, adj_s, deg_s, spill_s, ep_s, n_s, chunk_s, chunk_valid_s)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("G", "c", "efc", "m", "metric_name", "expand",
                      "prune_budget", "mesh"),
-    donate_argnums=(0, 1, 2),
+    donate_argnums=(0, 1, 2, 3),
 )
 def sharded_build_steps_scanned(
     points_s,
     adj_s,
     deg_s,
+    spill_s,
     ep_s,
     n_s,
     ns_s,
@@ -300,14 +307,14 @@ def sharded_build_steps_scanned(
       pos0: int32 scalar, first chunk's row offset within each shard.
     """
 
-    def step(points_b, adj_b, deg_b, ep_b, n_b, ns_b, pos0_):
+    def step(points_b, adj_b, deg_b, spill_b, ep_b, n_b, ns_b, pos0_):
         points, adj, deg = points_b[0], adj_b[0], deg_b[0]
         ep, ns = ep_b[0], ns_b[0]
         cap = points.shape[0]
         node_map = jnp.arange(cap, dtype=jnp.int32)
 
         def body(i, carry):
-            adj, deg, n = carry
+            adj, deg, spill, n, drops = carry
             pos = pos0_ + i * c
             chunk = jax.lax.dynamic_slice_in_dim(points, pos, c, axis=0)
             valid = (pos + jnp.arange(c, dtype=jnp.int32)) < ns
@@ -326,29 +333,33 @@ def sharded_build_steps_scanned(
             new_ids = jnp.where(
                 valid, n + jnp.arange(c, dtype=jnp.int32), -1
             )
-            g, _, _, _ = _build.apply_inserts(
+            g, _, spill, dropped = _build.apply_inserts(
                 points,
                 node_map,
                 GraphArrays(adj, deg),
                 new_ids,
                 sel_ids,
                 None,
-                _build.make_spill(cap),
+                spill,
                 metric_name=metric_name,
                 prune_budget=prune_budget,
             )
-            return g.adj, g.deg, n + jnp.sum(valid.astype(jnp.int32))
+            return (g.adj, g.deg, spill,
+                    n + jnp.sum(valid.astype(jnp.int32)), drops + dropped)
 
-        adj, deg, n = jax.lax.fori_loop(0, G, body, (adj, deg, n_b[0]))
-        return points_b, adj[None], deg[None], n[None]
+        adj, deg, spill, n, drops = jax.lax.fori_loop(
+            0, G, body,
+            (adj, deg, spill_b[0], n_b[0], jnp.int32(0)))
+        return points_b, adj[None], deg[None], spill[None], n[None], \
+            drops[None]
 
     return jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(AXIS),) * 6 + (P(),),
-        out_specs=(P(AXIS),) * 4,
+        in_specs=(P(AXIS),) * 7 + (P(),),
+        out_specs=(P(AXIS),) * 6,
         check_vma=False,
-    )(points_s, adj_s, deg_s, ep_s, n_s, ns_s, pos0)
+    )(points_s, adj_s, deg_s, spill_s, ep_s, n_s, ns_s, pos0)
 
 
 # ---------------------------------------------------------------------------
@@ -410,6 +421,15 @@ class ShardedNSW:
         self.query_entry_sample = 0  # >0: per-shard MXU sampled entry
         self.max_steps = None  # None = auto (2*ef; any explicit value wins)
         self.fused_s = None  # per-shard fused tables (enable_inline)
+        self.edge_drops_s = None  # int32[S] unrecoverable reverse-edge
+        # drops per shard (set by build; None for hand-assembled indexes)
+
+    def total_edge_drops(self) -> int:
+        """Reverse edges unrecoverably lost across all shards (single-chip
+        parity: NSWBuilder.total_edge_drops)."""
+        if self.edge_drops_s is None:
+            return 0
+        return int(np.asarray(self.edge_drops_s).sum())
 
     def _steps_cap(self, ef: int) -> int:
         return self.max_steps if self.max_steps else max(2 * ef, 64)
@@ -451,6 +471,13 @@ class ShardedNSW:
 
         metric_name = metric if isinstance(metric, str) else metric.name
         ns_s = shard_leading(mesh, jnp.asarray(ns, jnp.int32))
+        # persistent spill buffers, one per shard (single-chip parity:
+        # reverse edges overflowing a full row survive across chunks until
+        # the row is pruned; drops are counted — VERDICT r3 item 6)
+        spill_s = shard_leading(
+            mesh, jnp.full((S, cap_s + 1, 8), -1, jnp.int32)
+        )
+        drops_s = shard_leading(mesh, jnp.zeros((S,), jnp.int32))
         pos = 1
         sched = _build.chunk_schedule(
             1, max(0, cap_s - 1), max_chunk=opts.batch_size
@@ -463,15 +490,16 @@ class ShardedNSW:
             G = _build.scan_group_at(sched, i, opts.batch_size,
                                      opts.scan_group)
             if G > 1:
-                points_s, adj_s, deg_s, n_s = sharded_build_steps_scanned(
-                    points_s, adj_s, deg_s, ep_s, n_s, ns_s,
-                    jnp.int32(pos),
-                    G=G, c=c,
-                    efc=opts.ef_construction, m=opts.connections,
-                    metric_name=metric_name,
-                    expand=opts.expand, prune_budget=opts.prune_budget,
-                    mesh=mesh,
-                )
+                points_s, adj_s, deg_s, spill_s, n_s, dr = \
+                    sharded_build_steps_scanned(
+                        points_s, adj_s, deg_s, spill_s, ep_s, n_s, ns_s,
+                        jnp.int32(pos),
+                        G=G, c=c,
+                        efc=opts.ef_construction, m=opts.connections,
+                        metric_name=metric_name,
+                        expand=opts.expand, prune_budget=opts.prune_budget,
+                        mesh=mesh,
+                    )
             else:
                 # slice the chunk from the DEVICE-resident shard points
                 # (axis 0 sharding is preserved; axis 1 is unsharded) — a
@@ -480,18 +508,20 @@ class ShardedNSW:
                 # builder removed
                 chunk = points_s[:, pos : pos + c]
                 valid = (pos + np.arange(c)[None, :]) < ns[:, None]
-                points_s, adj_s, deg_s, n_s = sharded_build_step(
-                    points_s, adj_s, deg_s, ep_s, n_s,
-                    chunk,
-                    shard_leading(mesh, jnp.asarray(valid)),
-                    efc=opts.ef_construction, m=opts.connections,
-                    metric_name=metric_name,
-                    expand=opts.expand, prune_budget=opts.prune_budget,
-                    mesh=mesh,
-                )
+                points_s, adj_s, deg_s, spill_s, n_s, dr = \
+                    sharded_build_step(
+                        points_s, adj_s, deg_s, spill_s, ep_s, n_s,
+                        chunk,
+                        shard_leading(mesh, jnp.asarray(valid)),
+                        efc=opts.ef_construction, m=opts.connections,
+                        metric_name=metric_name,
+                        expand=opts.expand, prune_budget=opts.prune_budget,
+                        mesh=mesh,
+                    )
+            drops_s = drops_s + dr  # lazy device-side accumulation
             pos += G * c
             i += G
-        return cls(
+        idx = cls(
             mesh,
             points_s,
             (adj_s, deg_s),
@@ -501,6 +531,8 @@ class ShardedNSW:
             metric,
             opts,
         )
+        idx.edge_drops_s = drops_s
+        return idx
 
     def size(self) -> int:
         return int(np.asarray(self.ns).sum())
@@ -633,10 +665,59 @@ class ShardedHNSW(ShardedNSW):
         self.query_entry_sample = self.DEFAULT_ENTRY_SAMPLE
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
+                     "n_levels", "entry_sample", "dedup", "mesh"),
+)
+def _query_sharded_step_hnsw(points, levels, base_adj, ep, n, qs, *, k, ef,
+                             metric_name, expand, max_steps, n_levels,
+                             entry_sample, dedup, mesh):
+    """Query-sharded HNSW: the full hierarchy (points, level arrays, base
+    adjacency) is replicated to every device and the query batch is split —
+    each device runs the SAME descent + base beam the single-chip
+    ``_hnsw_query_step`` runs (models/hnsw.py), so per-query results are
+    bit-identical to the unsharded path. This is the rayon par_iter
+    analogue (src/index/mod.rs:27-43) for the hierarchical index; level
+    arrays are tiny relative to the base (level 1 holds ~n/m nodes), so
+    replication costs ~1/m of the index per device."""
+    from ..models.hnsw import _descent_eps
+
+    metric = get_metric(metric_name)
+
+    def step(points_r, levels_r, adj_r, ep_r, n_r, q):
+        eps = _descent_eps(
+            points_r, levels_r, q, ep_r, n_r,
+            metric=metric, max_steps=max_steps, n_levels=n_levels,
+            entry_sample=entry_sample,
+        )
+        res = batched_beam_search(
+            lambda ids: points_r[ids],
+            adj_r,
+            q,
+            eps,
+            ef=max(ef, k),
+            metric=metric,
+            capacity=adj_r.shape[0],
+            expand=expand,
+            max_steps=max_steps,
+            dedup=dedup,
+        )
+        return res.dists[:, :k], res.ids[:, :k]
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )(points, levels, base_adj, ep, n, qs)
+
+
 def knns_query_sharded(index, queries, k: int, ef: int,
                        mesh: Mesh | None = None) -> KnnResult:
     """Replicated-index data parallelism over queries for a single-device
-    NSW index — Index::knns (src/index/mod.rs:27-43) across chips."""
+    NSW or HNSW index — Index::knns (src/index/mod.rs:27-43) across chips."""
     mesh = mesh or make_mesh()
     S = mesh.devices.size
     qs = np.asarray(queries)
@@ -644,6 +725,28 @@ def knns_query_sharded(index, queries, k: int, ef: int,
     pad = (-nq) % S
     if pad:
         qs = np.concatenate([qs, np.repeat(qs[:1], pad, axis=0)])
+    if hasattr(index, "levels"):  # HNSW: replicate the hierarchy
+        levels = jax.tree.map(
+            lambda x: replicate(mesh, x), tuple(index.levels)
+        )
+        d, i = _query_sharded_step_hnsw(
+            replicate(mesh, index.points),
+            levels,
+            replicate(mesh, index.base.adj),
+            replicate(mesh, jnp.int32(index.ep)),
+            replicate(mesh, jnp.int32(index.n)),
+            shard_leading(mesh, jnp.asarray(qs)),
+            k=k,
+            ef=ef,
+            metric_name=index.metric.name,
+            expand=index.query_expand,
+            max_steps=index._steps_cap(ef),
+            n_levels=len(index.levels),
+            entry_sample=index.query_entry_sample,
+            dedup=index.query_dedup,
+            mesh=mesh,
+        )
+        return KnnResult(d[:nq], i[:nq])
     d, i = _query_sharded_step(
         replicate(mesh, index.points),
         replicate(mesh, index.graph.adj),

@@ -78,13 +78,17 @@ def test_sharded_build_step_semantics(mesh):
     valid = np.ones((S, c), bool)
     valid[-1, -2:] = False  # ragged last shard
 
-    points_s, adj_s, deg_s, n_s = sharded_build_step(
-        points_s, adj_s, deg_s, ep_s, n_s,
+    spill_s = shard_leading(mesh, jnp.full((S, cap + 1, 8), -1, jnp.int32))
+    points_s, adj_s, deg_s, spill_s, n_s, drops_s = sharded_build_step(
+        points_s, adj_s, deg_s, spill_s, ep_s, n_s,
         shard_leading(mesh, jnp.asarray(pts0[:, 1 : 1 + c])),
         shard_leading(mesh, jnp.asarray(valid)),
         efc=16, m=4, metric_name="hamming", expand=1, prune_budget=16,
         mesh=mesh,
     )
+    # drop accounting lives on the mesh: one int32 counter per shard
+    assert np.asarray(drops_s).shape == (S,)
+    assert (np.asarray(drops_s) >= 0).all()
     n = np.asarray(n_s)
     assert n.tolist() == [1 + c] * (S - 1) + [1 + c - 2]
     adj = np.asarray(adj_s)
@@ -212,3 +216,33 @@ def test_sharded_scanned_build_bitexact(mesh):
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_query_sharded_hnsw_matches_single(mesh):
+    """HNSW across the query-sharded mesh (VERDICT r3 item 5): the
+    hierarchy is replicated, queries split — per-query results must be
+    bit-identical to the single-device knns (both the greedy-descent and
+    the sampled-entry entry policies)."""
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+
+    rng = np.random.default_rng(11)
+    n, nq = 600, 16
+    pts = rng.integers(0, 2**32, size=(n, 32), dtype=np.uint32)
+    qs = rng.integers(0, 2**32, size=(nq, 32), dtype=np.uint32)
+    b = HNSWBuilder(
+        IndexOptions(host_warmup=0, ef_construction=32, connections=8,
+                     max_connections=16, size=n),
+        metric="hamming",
+    )
+    b.extend_batched(pts)
+    hnsw = b.build()
+    assert len(hnsw.levels) >= 1  # exercise a real descent
+
+    for entry_sample in (0, 128):  # descent, then MXU sampled entry
+        hnsw.query_entry_sample = entry_sample
+        single = hnsw.knns(qs, 5, 32)
+        sharded = knns_query_sharded(hnsw, qs, 5, 32, mesh=mesh)
+        np.testing.assert_array_equal(
+            np.asarray(single.ids), np.asarray(sharded.ids))
+        np.testing.assert_array_equal(
+            np.asarray(single.dists), np.asarray(sharded.dists))
