@@ -195,6 +195,12 @@ def query_index(queryfile, index, attrs: ResultAttrs, k: int, ef: int,
             np.ascontiguousarray(np.asarray(graph.deg)),
             index.size(), qs, k, ef, threads=1, eps=eps,
         )
+        if getattr(index, "id_map", None) is not None:
+            # reordered index: the host engine returns internal ids; map
+            # back to original dataset ids like knns does
+            idm = np.asarray(index.id_map)
+            ids = np.where(ids >= ID_INF, ids,
+                           idm[np.clip(ids, 0, idm.shape[0] - 1)])
     else:
         if hasattr(index, "enable_inline"):
             # inline neighbor rows: one sequential HBM read per expansion
@@ -268,6 +274,7 @@ def _opts_from_args(a) -> IndexOptions:
         ef_construction=a.ef_construction,
         connections=a.connections,
         max_connections=a.max_connections,
+        reorder=getattr(a, "reorder", False),
     )
 
 
@@ -406,6 +413,10 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("-m", "--connections", type=int, default=24)
         sp.add_argument("-M", "--max-connections", type=int, default=256)
         sp.add_argument("-a", "--algorithm", choices=ALGOS, default="hnsw")
+        sp.add_argument("--reorder", action="store_true",
+                        help="BFS-relabel the finished graph for HBM "
+                             "locality (results keep original ids; "
+                             "no reference analogue)")
         sp.add_argument("-S", "--single-threaded", action="store_true",
                         help="sequential inserts (exact reference ordering)")
 

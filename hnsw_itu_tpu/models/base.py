@@ -40,6 +40,10 @@ class IndexOptions:
     # TPU-specific knobs (no reference counterpart):
     expand: int = 1  # E-way frontier expansion during construction searches
     batch_size: int = 1024  # search/select sub-batch inside build chunks
+    # BFS-relabel the finished graph for HBM locality before the query
+    # tables are materialized (ops/reorder.py); results still return
+    # original dataset ids (id_map)
+    reorder: bool = False
     prune_budget: int = 256  # max degree-cap prunes applied per chunk
     seed: int = 0  # extra entropy mixed into the level RNG
     # MXU sampled-entry for construction searches (0 = descend/global ep)

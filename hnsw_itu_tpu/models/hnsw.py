@@ -262,6 +262,7 @@ class HNSW:
         self.mini = None  # inline mini table (ops/pallas_dma_search.py)
         self.mini_words = 0
         self.mini_W = 0
+        self.id_map = None  # int32[cap] new->original id (set by reorder)
 
     def size(self) -> int:
         return self.n
@@ -436,7 +437,50 @@ class HNSW:
             out_s.append(_trim_rows_j(st, b))
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
         self.last_stats = LazyStats(cat(out_v), cat(out_s), nq)
-        return KnnResult(cat(out_d), cat(out_i))
+        ids = cat(out_i)
+        if self.id_map is not None:  # reordered index: original ids out
+            from .nsw import _remap_ids_j
+
+            ids = _remap_ids_j(self.id_map, ids)
+        return KnnResult(cat(out_d), ids)
+
+    def reorder(self, order: str = "bfs") -> None:
+        """BFS-relabel the base layer for HBM locality (ops/reorder.py —
+        see NSW.reorder). Levels keep their local numbering; only their
+        base-id references (``node_ids`` everywhere, ``down`` on the
+        bottom level) are remapped. Call BEFORE ``enable_inline()``."""
+        if order != "bfs":
+            raise ValueError(f"unknown reorder {order!r}; known: bfs")
+        if self.ep is None or self.n <= 1:
+            return
+        if (self.fused is not None or self.mini is not None
+                or self.adj_pts is not None
+                or self.level_adj_pts is not None):
+            raise ValueError(
+                "reorder before enable_inline(): the fused/mini/inline "
+                "tables are materialized from the reordered arrays"
+            )
+        from ..ops.reorder import bfs_order, full_permutation
+
+        cap = self.base.capacity
+        adj_np = np.asarray(self.base.adj[: self.n])
+        perm, inv = full_permutation(
+            bfs_order(adj_np, self.n, self.base_ep()), cap
+        )
+        permj, invj = jnp.asarray(perm), jnp.asarray(inv)
+        self.points = self.points[permj]
+        adj = self.base.adj
+        adj = jnp.where(adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj)[permj]
+        self.base = GraphArrays(adj, self.base.deg[permj])
+        new_levels = []
+        for li, lv in enumerate(self.levels):
+            node_ids = invj[jnp.clip(lv.node_ids, 0, cap - 1)]
+            # down maps level-local -> level-below-local ids; only the
+            # bottom level's down points into the (relabeled) base
+            down = invj[jnp.clip(lv.down, 0, cap - 1)] if li == 0 else lv.down
+            new_levels.append(Level(node_ids, down, lv.graph))
+        self.levels = new_levels
+        self.id_map = permj if self.id_map is None else self.id_map[permj]
 
 
 class HNSWBuilder:
@@ -720,6 +764,8 @@ class HNSWBuilder:
             self.metric,
             self.opts,
         )
+        if self.opts.reorder:
+            h.reorder()  # BEFORE tables: they build from reordered arrays
         if self.adj_pts is not None:
             # drain the async build queue, then free the scatter-chain copy
             # and rebuild fresh (peak memory + layout; see NSWBuilder.build)

@@ -66,6 +66,14 @@ def _trim_rows_j(x: jax.Array, to: int) -> jax.Array:
     return x if x.shape[0] == to else x[:to]
 
 
+@jax.jit
+def _remap_ids_j(id_map, ids):
+    """Map internal (reordered) ids to original dataset ids, preserving
+    the ID_INF 'no result' sentinel (models/base.py)."""
+    mapped = id_map[jnp.clip(ids, 0, id_map.shape[0] - 1)]
+    return jnp.where(ids == ID_INF, ids, mapped)
+
+
 def _fused_batch(b: int, max_block: int | None = None) -> tuple[int, int]:
     """(padded batch, block_q) for the fused kernel: the kernel requires
     batch % block_q == 0, so small batches round up to a power of two and
@@ -434,9 +442,51 @@ class NSW:
         self.mini = None  # inline mini table (ops/pallas_dma_search.py)
         self.mini_words = 0
         self.mini_W = 0
+        self.id_map = None  # int32[cap] new->original id (set by reorder)
 
     def size(self) -> int:
         return self.n
+
+    def reorder(self, order: str = "bfs") -> None:
+        """Relabel nodes for HBM locality (ops/reorder.py): BFS rank from
+        the entry point becomes the new id, so each expansion's neighbor
+        rows sit near the expanded node in the point/adjacency/inline
+        tables. Pure isomorphic relabel — results are mapped back to
+        original dataset ids through ``id_map`` inside ``knns``. Call
+        BEFORE ``enable_inline()`` (tables are built from the reordered
+        arrays). On a remote backend this fetches the live adjacency to
+        the host once (~130 MB per million nodes at W=32)."""
+        if order != "bfs":
+            raise ValueError(f"unknown reorder {order!r}; known: bfs")
+        if self.ep is None or self.n <= 1:
+            return
+        if (self.fused is not None or self.mini is not None
+                or self.adj_pts is not None):
+            raise ValueError(
+                "reorder before enable_inline(): the fused/mini/inline "
+                "tables are materialized from the reordered arrays"
+            )
+        from ..ops.reorder import bfs_order, full_permutation
+
+        adj_np = np.asarray(self.graph.adj[: self.n])
+        perm, inv = full_permutation(
+            bfs_order(adj_np, self.n, self.ep), self.graph.capacity
+        )
+        self._apply_perm(jnp.asarray(perm), jnp.asarray(inv))
+
+    def _apply_perm(self, permj, invj) -> None:
+        cap = self.graph.capacity
+        self.points = self.points[permj]
+        adj = self.graph.adj
+        adj = jnp.where(
+            adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj
+        )[permj]
+        self.graph = GraphArrays(adj, self.graph.deg[permj])
+        self.ep = int(invj[self.ep])
+        # id_map composes: existing (new->orig) permuted by the new perm
+        self.id_map = (
+            permj if self.id_map is None else self.id_map[permj]
+        )
 
     def _steps_cap(self, ef: int) -> int:
         # stragglers past ~ef expansions contribute no recall (measured)
@@ -591,7 +641,10 @@ class NSW:
             out_s.append(_trim_rows_j(st, b))
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
         self.last_stats = LazyStats(cat(out_v), cat(out_s), nq)
-        return KnnResult(cat(out_d), cat(out_i))
+        ids = cat(out_i)
+        if self.id_map is not None:  # reordered index: original ids out
+            ids = _remap_ids_j(self.id_map, ids)
+        return KnnResult(cat(out_d), ids)
 
 
 class NSWBuilder:
@@ -896,6 +949,8 @@ class NSWBuilder:
         self.edge_drops.append(jnp.sum((self.spill[:-1] >= 0).astype(jnp.int32)))
         nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
                   self.opts)
+        if self.opts.reorder:
+            nsw.reorder()  # BEFORE tables: they build from reordered arrays
         if self.adj_pts is not None:
             # drain the async build queue first: pending chunk steps still
             # reference the old buffer and deleting/reallocating under them

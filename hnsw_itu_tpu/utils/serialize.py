@@ -72,6 +72,10 @@ def save_index(path, index, attrs: ResultAttrs | None = None) -> None:
             arrays[f"l{l}_deg"] = np.asarray(lv.graph.deg)
     else:
         raise TypeError(f"cannot serialize index type {type(index)!r}")
+    if getattr(index, "id_map", None) is not None:
+        # reordered index (NSW/HNSW.reorder): persist the new->original id
+        # map so loaded indexes keep returning original dataset ids
+        arrays["id_map"] = np.asarray(index.id_map)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -125,4 +129,6 @@ def load_index(path):
         )
     else:
         raise ValueError(f"unknown index kind {kind!r}")
+    if "id_map" in getattr(z, "files", ()):
+        idx.id_map = jnp.asarray(z["id_map"])
     return idx, attrs
