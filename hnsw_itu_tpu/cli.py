@@ -37,6 +37,11 @@ log = ulog.get("cli")
 
 ALGOS = ("bruteforce", "nsw", "hnsw")
 ID_INF = np.iinfo(np.int32).max
+# inspect's connectivity check uses the real search path (k=ef=size, the
+# reference's exact check, main.rs:793-800) up to this size; above it an
+# ef=N sorted beam per lockstep step is prohibitive and a host BFS
+# answers the same reachability question
+SEARCH_CONN_MAX = 4096
 
 
 def format_size_string(size: int) -> str:
@@ -377,15 +382,23 @@ def cmd_inspect(a):
         print_layer("base", idx.graph.deg, idx.n)
         graph, ep = idx.graph, idx.ep
     # connectivity: the reference searches the whole index with k=ef=size
-    # (main.rs:793-800) — an ef=N sorted beam per step is O(N log N) bitonic
-    # work on TPU (effectively a hang at 1M). A host BFS over the adjacency
-    # arrays answers the same question in seconds at any scale.
+    # (main.rs:793-800). Up to SEARCH_CONN_MAX nodes the SAME check runs
+    # through this framework's real search path (one query, k=ef=size —
+    # exercising entry + beam + dedup end to end); an ef=N sorted beam per
+    # step is O(N log N) bitonic work on TPU (effectively a hang at 1M),
+    # so past the bound a host BFS over the adjacency arrays answers the
+    # same reachability question in seconds at any scale.
     size = idx.size()
-    reached = _reachability(
-        np.asarray(graph.adj), size, ep
-    )
+    if size <= SEARCH_CONN_MAX:
+        q = np.asarray(idx.points[:1]).reshape(1, -1)  # node 0's point
+        res = idx.knns(q, size, size)
+        reached = int((np.asarray(res.ids)[0] < ID_INF).sum())
+        how = "search with k=ef=size"
+    else:
+        reached = _reachability(np.asarray(graph.adj), size, ep)
+        how = "host BFS from the entry point"
     print(f"\nquery on whole index returned {reached}/{size} elements "
-          f"(host BFS from the entry point)")
+          f"({how})")
 
 
 def cmd_evaluate(a):

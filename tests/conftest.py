@@ -36,6 +36,35 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Fast inner-loop tier (`pytest -m quick`, VERDICT r3 item 9): whole
+# modules dominated by Pallas interpret-mode kernels, 8-device mesh
+# collectives, or scanned-build A/Bs are marked slow; everything else is
+# quick. The split is by measured module wall-clock on the 1-core box
+# (pytest --durations), not by subjective importance — quick must stay
+# under ~5 minutes there.
+_SLOW_MODULES = {
+    "test_pallas_search",  # fused kernel in interpret mode
+    "test_dma_search",     # mini-table kernel in interpret mode
+    "test_mini_path",      # whole mini query path in interpret mode
+    "test_pallas",         # distance/select Pallas tiles in interpret mode
+    "test_sharded",        # 8-device mesh collectives
+    "test_scanned",        # G-chunk scanned-build bit-exactness A/Bs
+    "test_host_hier",      # native full-hierarchy builds
+    "test_spill",          # spill-recovery builds
+    "test_reorder",        # rebuilds per entry policy
+    "test_example",        # end-to-end golden examples via runpy
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _drop_compiled_executables():
     """Free each module's compiled executables when it finishes.
