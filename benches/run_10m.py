@@ -193,6 +193,17 @@ def main():
     print(f"# build: {build_s:.1f}s ({build_s/N*1e6:.1f} us/pt), "
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
+
+    # BENCH_REORDER=1: BFS locality relabel before the query tables are
+    # materialized (ops/reorder.py) — at 10M consecutive expansions
+    # otherwise touch random HBM rows. Reported separately from build_s.
+    reorder_s = None
+    if os.environ.get("BENCH_REORDER", "0") == "1":
+        t0r = time.perf_counter()
+        index.reorder()
+        np.asarray(index.base.deg[:1])
+        reorder_s = round(time.perf_counter() - t0r, 1)
+        print(f"# reorder: {reorder_s}s", file=sys.stderr, flush=True)
     # smoke-scale invocations must not clobber the recorded artifact
     out_name = os.environ.get(
         "BENCH_OUT",
@@ -293,6 +304,7 @@ def main():
             "vs_baseline": round(qps / 26_400, 3),
             "recall_at_10": round(recall, 4),
             "build_seconds": round(build_s, 1),
+            "reorder_seconds": reorder_s,
             "n_points": N,
             "n_queries": NQ,
             "query_path": path + (f"+hop{hop}" if hop else ""),

@@ -453,12 +453,11 @@ class HNSW:
             raise ValueError(f"unknown reorder {order!r}; known: bfs")
         if self.ep is None or self.n <= 1:
             return
-        if (self.fused is not None or self.mini is not None
-                or self.adj_pts is not None
-                or self.level_adj_pts is not None):
+        if self.fused is not None or self.mini is not None:
             raise ValueError(
-                "reorder before enable_inline(): the fused/mini/inline "
-                "tables are materialized from the reordered arrays"
+                "reorder before enable_inline(): the fused/mini tables "
+                "embed node ids and are materialized from the reordered "
+                "arrays"
             )
         from ..ops.reorder import bfs_order, full_permutation
 
@@ -472,6 +471,11 @@ class HNSW:
         adj = self.base.adj
         adj = jnp.where(adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj)[permj]
         self.base = GraphArrays(adj, self.base.deg[permj])
+        # inline rows hold neighbor POINT data in adjacency-slot order —
+        # slot order survives the relabel, so a row permute is exact.
+        # (level_adj_pts is level-local and untouched by a base relabel.)
+        if self.adj_pts is not None:
+            self.adj_pts = self.adj_pts[permj]
         new_levels = []
         for li, lv in enumerate(self.levels):
             node_ids = invj[jnp.clip(lv.node_ids, 0, cap - 1)]
@@ -480,6 +484,10 @@ class HNSW:
             down = invj[jnp.clip(lv.down, 0, cap - 1)] if li == 0 else lv.down
             new_levels.append(Level(node_ids, down, lv.graph))
         self.levels = new_levels
+        if not self.levels:
+            # no hierarchy: ep IS a base id (base_ep() returns it), so it
+            # must follow the relabel (BFS starts there -> new id 0)
+            self.ep = int(invj[self.ep])
         self.id_map = permj if self.id_map is None else self.id_map[permj]
 
 

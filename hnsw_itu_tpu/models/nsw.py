@@ -460,11 +460,11 @@ class NSW:
             raise ValueError(f"unknown reorder {order!r}; known: bfs")
         if self.ep is None or self.n <= 1:
             return
-        if (self.fused is not None or self.mini is not None
-                or self.adj_pts is not None):
+        if self.fused is not None or self.mini is not None:
             raise ValueError(
-                "reorder before enable_inline(): the fused/mini/inline "
-                "tables are materialized from the reordered arrays"
+                "reorder before enable_inline(): the fused/mini tables "
+                "embed node ids and are materialized from the reordered "
+                "arrays"
             )
         from ..ops.reorder import bfs_order, full_permutation
 
@@ -482,6 +482,10 @@ class NSW:
             adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj
         )[permj]
         self.graph = GraphArrays(adj, self.graph.deg[permj])
+        # inline rows hold neighbor POINT data in adjacency-slot order —
+        # slot order survives the relabel, so a row permute is exact
+        if self.adj_pts is not None:
+            self.adj_pts = self.adj_pts[permj]
         self.ep = int(invj[self.ep])
         # id_map composes: existing (new->orig) permuted by the new perm
         self.id_map = (

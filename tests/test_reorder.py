@@ -65,49 +65,137 @@ def test_reorder_results_identical(kind):
         idx2.query_entry_sample = entry_sample
         idx2.reorder()
         after = idx2.knns(qs, k, 48)
-        # the relabel is isomorphic; entry selection (fixed ep or strided
-        # sample) is position-dependent, so allow set-level comparison per
-        # query but demand identical top-1 and distances
-        np.testing.assert_array_equal(
-            np.asarray(before.dists), np.asarray(after.dists))
-        np.testing.assert_array_equal(
-            np.asarray(before.ids)[:, 0], np.asarray(after.ids)[:, 0])
+        if entry_sample == 0:
+            # fixed entry point: the relabel is isomorphic and the entry
+            # follows it, so distances are IDENTICAL. Ids match wherever
+            # the distance is unique in its row — the packed (d, id) key
+            # tie-break orders equal-distance candidates by the NEW ids,
+            # so tie positions may legally swap.
+            db = np.asarray(before.dists)
+            np.testing.assert_array_equal(db, np.asarray(after.dists))
+            untied = np.ones_like(db, bool)
+            untied[:, 1:] &= db[:, 1:] != db[:, :-1]
+            untied[:, :-1] &= db[:, :-1] != db[:, 1:]
+            untied[:, -1] = False  # the k-th result can tie with the
+            # (k+1)-th candidate OUTSIDE the row — invisible here
+            np.testing.assert_array_equal(
+                np.asarray(before.ids)[untied],
+                np.asarray(after.ids)[untied])
+        else:
+            # strided entry sample is POSITION-dependent: after the
+            # relabel different physical nodes are sampled, so a few
+            # queries may legitimately converge elsewhere. Demand
+            # overall quality parity, not bit-equality.
+            db = np.asarray(before.dists).astype(np.int64)
+            da = np.asarray(after.dists).astype(np.int64)
+            rows_same = (db == da).all(axis=1)
+            assert rows_same.mean() >= 0.85, (
+                f"entry-sample reorder shifted {100*(1-rows_same.mean()):.0f}%"
+                " of rows"
+            )
+            # aggregate distance mass within 1% — no quality regression
+            assert abs(int(da.sum()) - int(db.sum())) <= max(
+                32, 0.01 * db.sum()
+            )
 
 
 def test_reorder_recall_and_id_space():
-    """Reordered ids must live in the ORIGINAL id space: querying each
-    point for itself returns its own original id."""
+    """Reordered ids must live in the ORIGINAL id space: wherever the
+    search finds an exact match (dist 0), the returned id is the point's
+    own original dataset id — and the result equals the unreordered
+    search bit for bit (fixed entry)."""
     rng = np.random.default_rng(22)
     n = 600
     pts, _ = _clustered(rng, n, 1)
-    b = NSWBuilder(
-        IndexOptions(host_warmup=0, ef_construction=32, connections=8,
-                     max_connections=16, size=n),
-        metric="hamming",
-    )
-    b.extend_batched(pts)
-    idx = b.build()
-    idx.adj_pts = None
+
+    def build():
+        b = NSWBuilder(
+            IndexOptions(host_warmup=0, ef_construction=32, connections=8,
+                         max_connections=16, size=n),
+            metric="hamming",
+        )
+        b.extend_batched(pts)
+        idx = b.build()
+        idx.adj_pts = None
+        idx.query_entry_sample = 0
+        return idx
+
+    plain = build()
+    before = plain.knns(pts[:32], 1, 32)
+    idx = build()
     idx.reorder()
     r = idx.knns(pts[:32], 1, 32)
-    assert (np.asarray(r.ids)[:, 0] == np.arange(32)).all()
-    assert (np.asarray(r.dists)[:, 0] == 0).all()
+    ids, dists = np.asarray(r.ids)[:, 0], np.asarray(r.dists)[:, 0]
+    np.testing.assert_array_equal(np.asarray(before.ids), np.asarray(r.ids))
+    np.testing.assert_array_equal(
+        np.asarray(before.dists), np.asarray(r.dists))
+    hit = dists == 0
+    assert hit.mean() >= 0.9  # ef=32 finds nearly every self-match
+    assert (ids[hit] == np.arange(32)[hit]).all()
 
 
-def test_reorder_after_inline_raises():
+def test_reorder_with_inline_rows_matches_plain():
+    """adj_pts holds neighbor POINT data in adjacency-slot order, so
+    reorder permutes it in place of rebuilding; results must equal the
+    no-inline reorder bit for bit. (fused/mini still refuse: they embed
+    node ids.)"""
     rng = np.random.default_rng(23)
-    pts, _ = _clustered(rng, 300, 1)
-    b = NSWBuilder(
+    pts, qs = _clustered(rng, 300, 16)
+    opts = IndexOptions(host_warmup=0, ef_construction=16, connections=4,
+                        max_connections=8, size=300)
+
+    def build():
+        b = NSWBuilder(opts, metric="hamming")
+        b.extend_batched(pts)
+        return b.build()
+
+    idx = build()
+    if idx.fused is not None or idx.mini is not None:
+        with pytest.raises(ValueError, match="enable_inline"):
+            idx.reorder()
+        pytest.skip("fused/mini table on this backend; refuse path covered")
+    if idx.adj_pts is None:
+        idx.enable_inline()
+    assert idx.adj_pts is not None
+    idx.reorder()
+    with_inline = idx.knns(qs, 5, 32)
+
+    ref = build()
+    ref.adj_pts = None
+    ref.reorder()
+    plain = ref.knns(qs, 5, 32)
+    np.testing.assert_array_equal(
+        np.asarray(with_inline.ids), np.asarray(plain.ids))
+    np.testing.assert_array_equal(
+        np.asarray(with_inline.dists), np.asarray(plain.dists))
+
+
+def test_reorder_hnsw_no_levels_remaps_ep():
+    """With an empty hierarchy ``ep`` IS a base id and must follow the
+    relabel (it becomes BFS rank 0)."""
+    rng = np.random.default_rng(25)
+    pts, qs = _clustered(rng, 300, 8)
+    b = HNSWBuilder(
         IndexOptions(host_warmup=0, ef_construction=16, connections=4,
                      max_connections=8, size=300),
         metric="hamming",
     )
     b.extend_batched(pts)
-    idx = b.build()  # build() materializes inline tables
-    if idx.adj_pts is None and idx.fused is None and idx.mini is None:
-        pytest.skip("no inline table materialized on this backend")
-    with pytest.raises(ValueError, match="enable_inline"):
-        idx.reorder()
+    idx = b.build()
+    idx.adj_pts = None
+    idx.level_adj_pts = None
+    # strip the hierarchy: ep becomes a base id
+    idx.ep = idx.base_ep()
+    idx.levels, idx.level_ns = [], []
+    idx.query_entry_sample = 0  # fixed-ep entry exercises the remap
+    before = idx.knns(qs, 5, 32)
+    idx.reorder()
+    assert idx.ep == 0  # BFS starts at the entry point
+    after = idx.knns(qs, 5, 32)
+    np.testing.assert_array_equal(
+        np.asarray(before.dists), np.asarray(after.dists))
+    np.testing.assert_array_equal(
+        np.asarray(before.ids)[:, 0], np.asarray(after.ids)[:, 0])
 
 
 def test_reorder_serialization_roundtrip(tmp_path):
