@@ -72,9 +72,16 @@ def main():
     # build buffer keep 256-bit steering estimates (mw=8) on one chip.
     W = int(os.environ.get("BENCH_W", 64))
     m = int(os.environ.get("BENCH_M", 24))
+    # BENCH_REORDER=1: BFS locality relabel via the supported build()
+    # sequence (relabel BEFORE the query tables materialize — reorder()
+    # refuses the id-embedding fused/mini tables, and permuting the ~10GB
+    # truncated build buffer would double it in HBM). At 10M consecutive
+    # expansions otherwise touch random HBM rows; the 20k CPU smoke
+    # measured +66% QPS from the relabel.
+    want_reorder = os.environ.get("BENCH_REORDER", "0") == "1"
     opts = IndexOptions(ef_construction=96, connections=m,
                         max_connections=W, size=N, batch_size=bs,
-                        host_warmup=min(50_000, N))
+                        host_warmup=min(50_000, N), reorder=want_reorder)
     t0 = time.perf_counter()
     b = HNSWBuilder(opts, metric="hamming")
 
@@ -194,16 +201,6 @@ def main():
           f"levels={index.level_ns}, drops={b.total_edge_drops()}",
           file=sys.stderr, flush=True)
 
-    # BENCH_REORDER=1: BFS locality relabel before the query tables are
-    # materialized (ops/reorder.py) — at 10M consecutive expansions
-    # otherwise touch random HBM rows. Reported separately from build_s.
-    reorder_s = None
-    if os.environ.get("BENCH_REORDER", "0") == "1":
-        t0r = time.perf_counter()
-        index.reorder()
-        np.asarray(index.base.deg[:1])
-        reorder_s = round(time.perf_counter() - t0r, 1)
-        print(f"# reorder: {reorder_s}s", file=sys.stderr, flush=True)
     # smoke-scale invocations must not clobber the recorded artifact
     out_name = os.environ.get(
         "BENCH_OUT",
@@ -304,7 +301,7 @@ def main():
             "vs_baseline": round(qps / 26_400, 3),
             "recall_at_10": round(recall, 4),
             "build_seconds": round(build_s, 1),
-            "reorder_seconds": reorder_s,
+            "reorder": want_reorder,
             "n_points": N,
             "n_queries": NQ,
             "query_path": path + (f"+hop{hop}" if hop else ""),

@@ -459,7 +459,7 @@ class HNSW:
                 "embed node ids and are materialized from the reordered "
                 "arrays"
             )
-        from ..ops.reorder import bfs_order, full_permutation
+        from ..ops.reorder import bfs_order, full_permutation, permute_base
 
         cap = self.base.capacity
         adj_np = np.asarray(self.base.adj[: self.n])
@@ -467,15 +467,12 @@ class HNSW:
             bfs_order(adj_np, self.n, self.base_ep()), cap
         )
         permj, invj = jnp.asarray(perm), jnp.asarray(inv)
-        self.points = self.points[permj]
-        adj = self.base.adj
-        adj = jnp.where(adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj)[permj]
-        self.base = GraphArrays(adj, self.base.deg[permj])
-        # inline rows hold neighbor POINT data in adjacency-slot order —
-        # slot order survives the relabel, so a row permute is exact.
-        # (level_adj_pts is level-local and untouched by a base relabel.)
-        if self.adj_pts is not None:
-            self.adj_pts = self.adj_pts[permj]
+        # (level_adj_pts is level-local and untouched by a base relabel)
+        self.points, adj, deg, self.adj_pts = permute_base(
+            self.points, self.base.adj, self.base.deg, self.adj_pts,
+            permj, invj,
+        )
+        self.base = GraphArrays(adj, deg)
         new_levels = []
         for li, lv in enumerate(self.levels):
             node_ids = invj[jnp.clip(lv.node_ids, 0, cap - 1)]
@@ -772,14 +769,17 @@ class HNSWBuilder:
             self.metric,
             self.opts,
         )
-        if self.opts.reorder:
-            h.reorder()  # BEFORE tables: they build from reordered arrays
-        if self.adj_pts is not None:
+        had_inline = self.adj_pts is not None
+        if had_inline:
             # drain the async build queue, then free the scatter-chain copy
-            # and rebuild fresh (peak memory + layout; see NSWBuilder.build)
+            # BEFORE any relabel (reorder temporaries must not coexist with
+            # the ~10GB truncated build buffer at 10M; see NSWBuilder.build)
             np.asarray(self.base.deg[:1])
             self.adj_pts.delete()
             self.adj_pts = None
+        if self.opts.reorder:
+            h.reorder()  # BEFORE tables: they build from reordered arrays
+        if had_inline:
             h.enable_inline()  # fused table (or inline rows) + level rows
         return h
 

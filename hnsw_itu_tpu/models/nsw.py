@@ -475,17 +475,13 @@ class NSW:
         self._apply_perm(jnp.asarray(perm), jnp.asarray(inv))
 
     def _apply_perm(self, permj, invj) -> None:
-        cap = self.graph.capacity
-        self.points = self.points[permj]
-        adj = self.graph.adj
-        adj = jnp.where(
-            adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj
-        )[permj]
-        self.graph = GraphArrays(adj, self.graph.deg[permj])
-        # inline rows hold neighbor POINT data in adjacency-slot order —
-        # slot order survives the relabel, so a row permute is exact
-        if self.adj_pts is not None:
-            self.adj_pts = self.adj_pts[permj]
+        from ..ops.reorder import permute_base
+
+        self.points, adj, deg, self.adj_pts = permute_base(
+            self.points, self.graph.adj, self.graph.deg, self.adj_pts,
+            permj, invj,
+        )
+        self.graph = GraphArrays(adj, deg)
         self.ep = int(invj[self.ep])
         # id_map composes: existing (new->orig) permuted by the new perm
         self.id_map = (
@@ -953,18 +949,22 @@ class NSWBuilder:
         self.edge_drops.append(jnp.sum((self.spill[:-1] >= 0).astype(jnp.int32)))
         nsw = NSW(self.points, self.n, self.graph, self.ep, self.metric,
                   self.opts)
-        if self.opts.reorder:
-            nsw.reorder()  # BEFORE tables: they build from reordered arrays
-        if self.adj_pts is not None:
+        had_inline = self.adj_pts is not None
+        if had_inline:
             # drain the async build queue first: pending chunk steps still
             # reference the old buffer and deleting/reallocating under them
             # doubles peak memory (OOMs at 1M)
             np.asarray(self.graph.deg[:1])
-            # free the builder's scatter-chain copy, then rebuild fresh from
-            # points+adj — peak memory stays at one copy and the fresh array
-            # carries the gather-preferred layout
+            # free the builder's scatter-chain copy BEFORE any relabel —
+            # reorder's permutation temporaries must not coexist with the
+            # truncated build buffer (~10GB at 10M) — then rebuild fresh
+            # from points+adj: peak memory stays at one copy and the fresh
+            # array carries the gather-preferred layout
             self.adj_pts.delete()
             self.adj_pts = None
+        if self.opts.reorder:
+            nsw.reorder()  # BEFORE tables: they build from reordered arrays
+        if had_inline:
             nsw.enable_inline()  # fused table (or fresh inline rows)
         return nsw
 

@@ -220,6 +220,14 @@ def register_metric(metric: Metric, *, overwrite: bool = False) -> Metric:
             f"metric {metric.name!r} already registered "
             "(pass overwrite=True to replace)"
         )
+    if metric.name in _REGISTRY:
+        # the jitted query/build steps cache executables keyed by the
+        # static metric NAME — a same-shape call after an overwrite would
+        # silently keep computing the OLD metric's distances. Drop the
+        # compiled caches so the replacement takes effect everywhere.
+        import jax
+
+        jax.clear_caches()
     _REGISTRY[metric.name] = metric
     return metric
 

@@ -76,3 +76,24 @@ def full_permutation(order: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarra
     inv = np.empty(cap, np.int32)
     inv[perm] = np.arange(cap, dtype=np.int32)
     return perm, inv
+
+
+def permute_base(points, adj, deg, adj_pts, permj, invj):
+    """Apply a relabel permutation to the base arrays (shared by
+    NSW._apply_perm and HNSW.reorder — one implementation, two callers).
+
+    ``adj`` values are remapped old->new via ``invj`` (sentinel slots < 0
+    pass through), then rows are permuted; ``adj_pts`` rows hold neighbor
+    POINT data in adjacency-slot order, so a row permute is exact.
+    Returns (points, adj, deg, adj_pts).
+    """
+    import jax.numpy as jnp
+
+    cap = adj.shape[0]
+    adj = jnp.where(adj >= 0, invj[jnp.clip(adj, 0, cap - 1)], adj)[permj]
+    return (
+        points[permj],
+        adj,
+        deg[permj],
+        None if adj_pts is None else adj_pts[permj],
+    )

@@ -531,7 +531,15 @@ class ShardedNSW:
             metric,
             opts,
         )
-        idx.edge_drops_s = drops_s
+        # spill entries never consumed by a later chunk's prune are lost
+        # for good once the build seals: count them as drops per shard so
+        # the mesh build's logged rate stays honest (single-chip parity,
+        # models/nsw.py _drain_spill + leftover count; a mesh prune-only
+        # drain pass could recover them and is future work)
+        leftover = jnp.sum(
+            (spill_s[:, :-1] >= 0).astype(jnp.int32), axis=(1, 2)
+        )
+        idx.edge_drops_s = drops_s + leftover
         return idx
 
     def size(self) -> int:
@@ -746,7 +754,7 @@ def knns_query_sharded(index, queries, k: int, ef: int,
             dedup=index.query_dedup,
             mesh=mesh,
         )
-        return KnnResult(d[:nq], i[:nq])
+        return KnnResult(d[:nq], _map_back(index, i[:nq]))
     d, i = _query_sharded_step(
         replicate(mesh, index.points),
         replicate(mesh, index.graph.adj),
@@ -759,4 +767,14 @@ def knns_query_sharded(index, queries, k: int, ef: int,
         max_steps=index._steps_cap(ef),
         mesh=mesh,
     )
-    return KnnResult(d[:nq], i[:nq])
+    return KnnResult(d[:nq], _map_back(index, i[:nq]))
+
+
+def _map_back(index, ids):
+    """Internal -> original dataset ids for a reordered index (the same
+    id_map remap single-device knns applies, models/nsw.py:649)."""
+    if getattr(index, "id_map", None) is None:
+        return ids
+    from ..models.nsw import _remap_ids_j
+
+    return _remap_ids_j(index.id_map, ids)

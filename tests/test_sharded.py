@@ -246,3 +246,31 @@ def test_query_sharded_hnsw_matches_single(mesh):
             np.asarray(single.ids), np.asarray(sharded.ids))
         np.testing.assert_array_equal(
             np.asarray(single.dists), np.asarray(sharded.dists))
+
+
+def test_query_sharded_reordered_returns_original_ids(mesh):
+    """A reordered (BFS-relabeled) index must return ORIGINAL dataset ids
+    from the query-sharded path too — the same id_map remap single-device
+    knns applies."""
+    rng = np.random.default_rng(13)
+    n, nq = 500, 16
+    pts = rng.integers(0, 2**32, size=(n, 32), dtype=np.uint32)
+    qs = pts[:nq] ^ np.uint32(3)  # near-duplicate queries
+    b = NSWBuilder(
+        IndexOptions(host_warmup=0, ef_construction=32, connections=8,
+                     max_connections=16, size=n),
+        metric="hamming",
+    )
+    b.extend_batched(pts)
+    nsw = b.build()
+    nsw.adj_pts = None
+    nsw.reorder()
+    assert nsw.id_map is not None
+    single = nsw.knns(qs, 5, 32)
+    sharded = knns_query_sharded(nsw, qs, 5, 32, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(single.ids), np.asarray(sharded.ids))
+    np.testing.assert_array_equal(
+        np.asarray(single.dists), np.asarray(sharded.dists))
+    # near-duplicate queries resolve to their source points' ORIGINAL ids
+    assert (np.asarray(sharded.ids)[:, 0] == np.arange(nq)).all()
