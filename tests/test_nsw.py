@@ -66,8 +66,14 @@ def test_nsw_batched_build_recall():
     assert recall(nsw.knns(qs, k, ef=256)) >= 0.93
 
 
-def test_nsw_capacity_guard():
+def test_nsw_capacity_growth():
+    """Adding past the preallocated size grows the arrays (Vec-growth
+    parity, simplegraph.rs:82-87) instead of raising — the old guard is
+    gone; deeper growth coverage lives in tests/test_growth.py."""
     b = NSWBuilder(IndexOptions(host_warmup=0, size=4), metric="l2int")
     b.extend(np.arange(4, dtype=np.int32)[:, None])
-    with pytest.raises(ValueError):
-        b.add(np.array([9], np.int32))
+    b.add(np.array([9], np.int32))
+    idx = b.build()
+    assert idx.size() == 5
+    r = idx.knns(np.array([[9]], np.int32), 1, 8)
+    assert int(np.asarray(r.ids)[0, 0]) == 4
