@@ -101,3 +101,38 @@ def test_example_runs(chebyshev):
     approx, exact = ex.main()
     # top-1 must agree with the exact scan on this easy data
     assert approx[0] == exact[0]
+
+
+def test_overwrite_invalidates_compiled_kernels():
+    """register_metric(overwrite=True) must drop jit caches: compiled
+    query steps are keyed by the static metric NAME, so a same-shape
+    call after a replace would silently keep the OLD distance fn."""
+    class _A(Metric):
+        def __init__(self):
+            super().__init__(name="swap-test")
+
+        def one_to_many(self, q, pts):
+            import jax.numpy as jnp
+
+            return jnp.sum(
+                jnp.abs(pts.astype(jnp.int32) - q.astype(jnp.int32)), axis=-1
+            )
+
+    class _B(_A):
+        def one_to_many(self, q, pts):
+            return super().one_to_many(q, pts) * 2  # visibly different
+
+    try:
+        register_metric(_A(), overwrite=True)
+        pts = np.arange(8, dtype=np.int32)[:, None]
+        qs = np.zeros((2, 1), np.int32)
+        bf = Bruteforce("swap-test")
+        bf.extend(pts)
+        d1 = np.asarray(bf.build().knns(qs, 3).dists)  # compiles with _A
+        register_metric(_B(), overwrite=True)
+        bf2 = Bruteforce("swap-test")
+        bf2.extend(pts)  # SAME shapes -> would hit the stale executable
+        d2 = np.asarray(bf2.build().knns(qs, 3).dists)
+        np.testing.assert_array_equal(d2, d1 * 2)
+    finally:
+        metrics_mod._REGISTRY.pop("swap-test", None)
