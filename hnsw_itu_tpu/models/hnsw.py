@@ -779,6 +779,16 @@ class HNSWBuilder:
             self.adj_pts = None
         if self.opts.reorder:
             h.reorder()  # BEFORE tables: they build from reordered arrays
+            # resync the builder to the relabeled arrays — otherwise it
+            # pins the pre-permute points/adjacency/levels (~4GB dead HBM
+            # at 10M) for its lifetime alongside the new query tables.
+            # Leftover spill ids live in the OLD id space and were already
+            # drained + counted as drops, so blank them; the builder is
+            # SEALED after a reorder build (further extend is unsupported
+            # — the trimmed level arrays have no growth headroom).
+            self.points, self.base, self.levels = h.points, h.base, h.levels
+            self.ep = h.ep
+            self.spill = jnp.full_like(self.spill, -1)
         if had_inline:
             h.enable_inline()  # fused table (or inline rows) + level rows
         return h

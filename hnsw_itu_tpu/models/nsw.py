@@ -964,6 +964,11 @@ class NSWBuilder:
             self.adj_pts = None
         if self.opts.reorder:
             nsw.reorder()  # BEFORE tables: they build from reordered arrays
+            # resync the builder to the relabeled arrays — otherwise it
+            # pins the pre-permute points/adjacency for its lifetime
+            # alongside the new query tables (see HNSWBuilder.build).
+            self.points, self.graph, self.ep = nsw.points, nsw.graph, nsw.ep
+            self.spill = jnp.full_like(self.spill, -1)
         if had_inline:
             nsw.enable_inline()  # fused table (or fresh inline rows)
         return nsw

@@ -220,11 +220,15 @@ def register_metric(metric: Metric, *, overwrite: bool = False) -> Metric:
             f"metric {metric.name!r} already registered "
             "(pass overwrite=True to replace)"
         )
-    if metric.name in _REGISTRY:
+    if overwrite:
         # the jitted query/build steps cache executables keyed by the
-        # static metric NAME — a same-shape call after an overwrite would
-        # silently keep computing the OLD metric's distances. Drop the
-        # compiled caches so the replacement takes effect everywhere.
+        # static metric NAME — a same-shape call after a replacement
+        # would silently keep computing the OLD metric's distances. Drop
+        # the compiled caches whenever the caller signals replacement
+        # intent (not just when the name is currently present: a pop-
+        # then-register through the private registry would otherwise
+        # skip the clear and reuse stale kernels). Registration happens
+        # at setup time, so the blanket clear is cheap in practice.
         import jax
 
         jax.clear_caches()

@@ -6,18 +6,27 @@ one random-row DMA per expansion). Dataset row order is arbitrary
 (cluster membership is random in id space), so consecutive beam
 expansions touch rows scattered across the full table.
 
-A BFS relabel from the entry point fixes that at zero quality cost: the
-graph is relabeled isomorphically (new id = BFS visit rank), so a node's
-neighbors — the rows the NEXT expansion will fetch — sit near it in the
-table, and same-cluster nodes (which dominate the tail of every search)
-become contiguous blocks. This is the array-table analogue of
-cache-oblivious graph layouts (Cuthill-McKee); the reference never needs
-it because its hot rows live in CPU L2/L3.
+A BFS relabel from the entry point improves that: the graph is relabeled
+isomorphically (new id = BFS visit rank), so a node's neighbors — the
+rows the NEXT expansion will fetch — sit near it in the table, and
+same-cluster nodes (which dominate the tail of every search) become
+contiguous blocks. This is the array-table analogue of cache-oblivious
+graph layouts (Cuthill-McKee); the reference never needs it because its
+hot rows live in CPU L2/L3.
 
 Results are mapped back through ``id_map`` (new -> original dataset id)
-at the end of ``knns``, so callers always see original ids: the reorder
-is invisible except for speed. Reorder BEFORE ``enable_inline()`` — the
-fused/mini tables are materialized from the reordered arrays.
+at the end of ``knns``, so callers always see original ids. Reorder
+BEFORE ``enable_inline()`` — the fused/mini tables are materialized from
+the reordered arrays.
+
+QUALITY CAVEAT (measured, docs/SCALE.md "BFS locality reorder"): with
+EXACT distances the relabel is quality-neutral (only equal-distance
+tie order shifts). On the ESTIMATED-distance mini path the coarse
+estimates tie constantly and packed (d, id) keys break ties by id —
+BFS rank makes low id = entry-proximal, so ties systematically keep
+entry-near candidates and recall drops (~5 points at 10M, ~1 point at
+20k) even as QPS rises ~27%. Use for exact-path/fused regimes; the 10M
+mini-path benchmarks run plain order.
 
 No reference counterpart (pure TPU-side optimization); cited here for
 the judge: the reference's layout is Vec insert order
@@ -28,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["bfs_order", "full_permutation"]
+__all__ = ["bfs_order", "full_permutation", "permute_base"]
 
 
 def bfs_order(adj: np.ndarray, n: int, start: int) -> np.ndarray:

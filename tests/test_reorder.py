@@ -220,3 +220,41 @@ def test_reorder_serialization_roundtrip(tmp_path):
     r2 = idx2.knns(qs, 5, 32)
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
     np.testing.assert_array_equal(np.asarray(r1.dists), np.asarray(r2.dists))
+
+
+@pytest.mark.parametrize("kind", ["nsw", "hnsw"])
+def test_opts_reorder_build_path(kind):
+    """IndexOptions(reorder=True): build() relabels before the query
+    tables materialize (the CLI --reorder path) and RESYNCS the builder
+    to the relabeled arrays (no dead pre-permute HBM pinned)."""
+    rng = np.random.default_rng(31)
+    pts, qs = _clustered(rng, 400, 8)
+    opts = IndexOptions(host_warmup=0, ef_construction=32, connections=8,
+                        max_connections=16, size=400, reorder=True)
+    cls = NSWBuilder if kind == "nsw" else HNSWBuilder
+    b = cls(opts, metric="hamming")
+    b.extend_batched(pts)
+    idx = b.build()
+    assert idx.id_map is not None
+    # builder arrays are the index's relabeled arrays (resync frees the
+    # pre-permute copies)
+    assert b.points is idx.points
+    graph = idx.base if kind == "hnsw" else idx.graph
+    bgraph = b.base if kind == "hnsw" else b.graph
+    assert bgraph.adj is graph.adj
+    # results come back in ORIGINAL ids and match a manual reorder
+    ref = cls(
+        IndexOptions(host_warmup=0, ef_construction=32, connections=8,
+                     max_connections=16, size=400),
+        metric="hamming",
+    )
+    ref.extend_batched(pts)
+    ridx = ref.build()
+    ridx.adj_pts = None
+    if kind == "hnsw":
+        ridx.level_adj_pts = None
+    ridx.reorder()
+    idx.query_entry_sample = ridx.query_entry_sample = 0
+    a = idx.knns(qs, 5, 32)
+    r = ridx.knns(qs, 5, 32)
+    np.testing.assert_array_equal(np.asarray(a.dists), np.asarray(r.dists))
