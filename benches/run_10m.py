@@ -49,9 +49,12 @@ def main():
     # hnsw_itu_tpu/utils/synth.py), generated in 1M-row chunks
     from hnsw_itu_tpu.utils.synth import make_dataset
 
-    pts, qs = make_dataset(0, N, NQ)
-    print(f"# data generated at {time.perf_counter()-t_start:.0f}s",
-          file=sys.stderr, flush=True)
+    # BENCH_PROFILE: distribution variant (utils/synth.py PROFILES) for
+    # the claims-robustness sweep; default is the historical generator
+    profile = os.environ.get("BENCH_PROFILE", "default")
+    pts, qs = make_dataset(0, N, NQ, profile=profile)
+    print(f"# data generated (profile={profile}) at "
+          f"{time.perf_counter()-t_start:.0f}s", file=sys.stderr, flush=True)
 
     # device session warm-up (see bench.py)
     from hnsw_itu_tpu.utils.tunnel import contact_watchdog
@@ -91,7 +94,13 @@ def main():
     # points are re-derivable from the dataset) is fetched and written to
     # disk; BENCH_RESUME=1 (default) picks it up. 0 disables.
     bench_dir = os.path.dirname(os.path.abspath(__file__))
-    ckpt_path = os.path.join(bench_dir, f"ckpt_{N}.npz")
+    # BENCH_CKPT_TAG separates checkpoint families (e.g. the W=64 A/B
+    # build must not clobber the kept W=32 checkpoint); non-default
+    # distribution profiles get their own family automatically
+    tag = os.environ.get(
+        "BENCH_CKPT_TAG", profile if profile != "default" else "")
+    ckpt_path = os.path.join(
+        bench_dir, f"ckpt_{N}{('_' + tag) if tag else ''}.npz")
     ckpt_every = int(os.environ.get("BENCH_CKPT", 4_000_000))
     # a resumed graph must continue under the SAME build config — mixed
     # configs would be reported as one build
@@ -233,34 +242,45 @@ def main():
     # richer entry samples (1/1024 of 10M is a far worse start than at
     # 2M) and deeper step caps. BENCH_PLAN="ef:hop:entry:cap;..."
     # overrides.
+    # BENCH_PLAN="ef:hop:entry:cap:beams;..." — beams > 1 seeds each
+    # query's beam with the entry sample's top-B (round-5 multi-seed)
     plan_env = os.environ.get("BENCH_PLAN")
     if plan_env:
         plan = []
         for part in plan_env.split(";"):
-            ef_, hop_, es_, cap_ = (part.split(":") + ["", "", ""])[:4]
+            ef_, hop_, es_, cap_, bm_ = (part.split(":") + ["", "", "", ""])[:5]
             plan.append((int(ef_), int(hop_ or 0), int(es_ or 1024),
-                         int(cap_) if cap_ else None))
+                         int(cap_) if cap_ else None, int(bm_ or 1)))
     elif N > 4_000_000:
-        plan = [(64, 0, 1024, None), (64, 8, 8192, 256),
-                (96, 8, 8192, 256), (96, 8, 1024, None),
-                (128, 8, 1024, None)]
+        plan = [(64, 0, 1024, None, 1), (64, 8, 8192, 256, 1),
+                (96, 8, 8192, 256, 1), (96, 8, 1024, None, 1),
+                (128, 8, 1024, None, 1)]
     else:
-        plan = [(64, 0, 1024, None), (96, 0, 1024, None),
-                (64, 8, 1024, None), (96, 8, 1024, None),
-                (128, 8, 1024, None)]
+        plan = [(64, 0, 1024, None, 1), (96, 0, 1024, None, 1),
+                (64, 8, 1024, None, 1), (96, 8, 1024, None, 1),
+                (128, 8, 1024, None, 1)]
 
     # graph-quality attribution: the EXACT (gather) path on the GT subset
-    # separates "graph misses the neighbor" from "estimate mis-ranks it"
-    exact_rec = None
+    # separates "graph misses the neighbor" from "estimate mis-ranks it".
+    # Measured at TWO entry-sample sizes: es=1024 (the historical number)
+    # vs es=65536 (the production entry) pins whether a recall deficit is
+    # entry-side (es lifts it) or graph-side (es doesn't).
+    exact_rec = exact_rec_es64k = None
     if os.environ.get("BENCH_EXACT_ATTRIB", "1") == "1":
-        t0 = time.perf_counter()
-        res = index.knns(jnp.asarray(qs[:NGT]), K, 64)
-        np.asarray(res.ids[:1])
-        exact_s = time.perf_counter() - t0
-        exact_rec = float(recall_at_k(np.asarray(res.ids), gt_ids, K))
-        print(f"# exact-path attribution ef=64: recall {exact_rec:.4f}, "
-              f"{NGT/exact_s:.0f} QPS (incl compile)",
-              file=sys.stderr, flush=True)
+        for es_a in (1024, 65536):
+            index.query_entry_sample = es_a
+            t0 = time.perf_counter()
+            res = index.knns(jnp.asarray(qs[:NGT]), K, 64)
+            np.asarray(res.ids[:1])
+            exact_s = time.perf_counter() - t0
+            r = float(recall_at_k(np.asarray(res.ids), gt_ids, K))
+            if es_a == 1024:
+                exact_rec = r
+            else:
+                exact_rec_es64k = r
+            print(f"# exact-path attribution ef=64 es={es_a}: recall "
+                  f"{r:.4f}, {NGT/exact_s:.0f} QPS (incl compile)",
+                  file=sys.stderr, flush=True)
 
     index.enable_inline()  # mini table (or fused when it fits)
     np.asarray(index.base.deg[:1])
@@ -274,11 +294,22 @@ def main():
     sweeps = []
     # hop > 0 adds the one-hop exact expansion rerank — the recall
     # equalizer when the mini table carries few sketch bits
-    for ef, hop, es, cap in plan:
+    for ef, hop, es, cap, beams in plan:
         index.query_hop = hop
         index.query_entry_sample = es
+        index.query_entry_beams = beams
         index.max_steps = cap
-        index.knns(qs_dev[:8192], K, ef)  # compile
+        try:
+            index.knns(qs_dev[:8192], K, ef)  # compile
+        except Exception as exc:  # a fresh-kernel compile failure must not
+            # kill the remaining plan points (round-4 infra note: the
+            # backend sometimes rejects large new compiles)
+            print(f"# ef={ef} hop={hop} es={es} beams={beams}: compile "
+                  f"FAILED: {exc}", file=sys.stderr, flush=True)
+            sweeps.append({"ef": ef, "hop": hop, "entry_sample": es,
+                           "max_steps": cap, "entry_beams": beams,
+                           "error": str(exc)[:300]})
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -287,11 +318,12 @@ def main():
             best = min(best, time.perf_counter() - t0)
         qps = NQ / best
         recall = float(recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K))
-        print(f"# ef={ef} hop={hop} es={es} cap={cap}: {best:.3f}s for "
-              f"{NQ} queries, {qps:.0f} QPS, recall {recall:.4f}",
-              file=sys.stderr, flush=True)
+        print(f"# ef={ef} hop={hop} es={es} cap={cap} beams={beams}: "
+              f"{best:.3f}s for {NQ} queries, {qps:.0f} QPS, "
+              f"recall {recall:.4f}", file=sys.stderr, flush=True)
         sweeps.append({"ef": ef, "hop": hop, "entry_sample": es,
-                       "max_steps": cap, "qps": round(qps, 1),
+                       "max_steps": cap, "entry_beams": beams,
+                       "qps": round(qps, 1),
                        "recall_at_10": round(recall, 4)})
         rec = {
             "metric": f"HNSW 10M-scale (k={K}, ef={ef}, n={N}, synthetic "
@@ -302,10 +334,12 @@ def main():
             "recall_at_10": round(recall, 4),
             "build_seconds": round(build_s, 1),
             "reorder": want_reorder,
+            "profile": profile,
             "n_points": N,
             "n_queries": NQ,
             "query_path": path + (f"+hop{hop}" if hop else ""),
             "exact_path_recall_ef64": exact_rec,
+            "exact_path_recall_ef64_es65536": exact_rec_es64k,
             "ef_sweep": sweeps,
         }
         # keep the fastest gate-meeting config; else the highest recall.

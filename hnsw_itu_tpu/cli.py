@@ -429,7 +429,11 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--reorder", action="store_true",
                         help="BFS-relabel the finished graph for HBM "
                              "locality (results keep original ids; "
-                             "no reference analogue)")
+                             "no reference analogue). On >2M builds "
+                             "queries take the estimated-distance mini "
+                             "path, where the relabel's id ties are "
+                             "re-randomized via bit-reversed tie keys "
+                             "(ops/pallas_dma_search.bitrev_ids)")
         sp.add_argument("-S", "--single-threaded", action="store_true",
                         help="sequential inserts (exact reference ordering)")
 

@@ -139,7 +139,13 @@ def search_select(
     return sel_ids, sel_d
 
 
-def make_spill(cap: int, width: int = 8) -> jax.Array:
+# spill buffer width shared by every build path (single-chip, mesh-sharded,
+# dryrun, tests) — one constant so overflow-recovery capacity can never
+# silently diverge between paths (ADVICE round 4)
+SPILL_WIDTH = 8
+
+
+def make_spill(cap: int, width: int = SPILL_WIDTH) -> jax.Array:
     """Persistent spill buffer: int32[cap+1, width], -1 = empty. Row t
     holds reverse-edge sources bound for node t that could not be appended
     because t's row was full. Entries persist across chunks until t is

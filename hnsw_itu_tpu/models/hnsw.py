@@ -65,12 +65,21 @@ def _pad_rows(x: np.ndarray, to: int):
 
 
 def _descent_eps(points, levels, qs, ep, n, *, metric, max_steps, n_levels,
-                 level_adj_pts=None, entry_sample=0):
-    """Entry points for the base search: MXU sampled entry when enabled,
-    else the ef=1 greedy descent through the levels (hnsw.rs:285-293),
-    following down-pointers."""
+                 level_adj_pts=None, entry_sample=0, entry_beams=1):
+    """Entry points for the base search: MXU sampled entry when enabled
+    (``entry_beams`` > 1 returns the sample's top-B, [B, E]), else the
+    ef=1 greedy descent through the levels (hnsw.rs:285-293), following
+    down-pointers."""
     B = qs.shape[0]
     if entry_sample > 0 and n is not None:
+        if entry_beams > 1:
+            from ..ops.entry import sampled_entry_topk
+
+            eps, _ = sampled_entry_topk(
+                points, qs, n, sample_size=entry_sample,
+                beams=entry_beams, metric=metric,
+            )
+            return eps
         return sampled_entry(points, qs, n, sample_size=entry_sample,
                              metric=metric)
     eps = jnp.full((B,), ep, jnp.int32)
@@ -142,7 +151,8 @@ def _hnsw_query_step_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "n_levels",
-                     "entry_sample", "W", "mini_words", "block_q", "hop"),
+                     "entry_sample", "W", "mini_words", "block_q", "hop",
+                     "entry_beams", "tie_bits"),
 )
 def _hnsw_query_step_mini(
     points,
@@ -164,10 +174,12 @@ def _hnsw_query_step_mini(
     mini_words,
     block_q,
     hop=0,
+    entry_beams=1,
+    tie_bits=0,
 ):
     """HNSW search with the mini-table base kernel (the >fused-limit
-    regime): descent (or sampled entry) in XLA, estimated-distance beam in
-    the kernel, exact rerank."""
+    regime): descent (or sampled entry, top-B when entry_beams > 1) in
+    XLA, estimated-distance beam in the kernel, exact rerank."""
     from .nsw import _query_step_mini
 
     metric = get_metric(metric_name)
@@ -175,12 +187,13 @@ def _hnsw_query_step_mini(
         points, levels, qs, ep, n,
         metric=metric, max_steps=max_steps, n_levels=n_levels,
         level_adj_pts=level_adj_pts, entry_sample=entry_sample,
+        entry_beams=entry_beams,
     )
     return _query_step_mini(
         points, mini, qs, ep, n,
         k=k, ef=ef, metric_name=metric_name, max_steps=max_steps,
         entry_sample=0, W=W, mini_words=mini_words, block_q=block_q,
-        eps=eps, adj=base_adj, hop=hop,
+        eps=eps, adj=base_adj, hop=hop, tie_bits=tie_bits,
     )
 
 
@@ -252,7 +265,9 @@ class HNSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
+        self.query_entry_beams = 1  # >1: seed with the sample's top-B
         self.query_hop = 0  # >0: one-hop exact rerank seeds (mini path)
+        self.query_tie = "auto"  # mini-path tie order (see NSW.query_tie)
         self.max_steps = None  # None = auto (2*ef, the measured safe cap)
         self.use_pallas = True  # fused base-layer kernel when eligible
         self.last_stats = None
@@ -269,6 +284,15 @@ class HNSW:
 
     def _steps_cap(self, ef: int) -> int:
         return self.max_steps if self.max_steps else max(2 * ef, 64)
+
+    def _tie_bits(self) -> int:
+        # see NSW._tie_bits — identical policy over the base capacity
+        tie = self.query_tie
+        if tie == "id" or (tie == "auto" and self.id_map is None):
+            return 0
+        if tie not in ("auto", "bitrev"):
+            raise ValueError(f"unknown query_tie {tie!r}")
+        return max(1, (self.base.capacity - 1).bit_length())
 
     def enable_inline(self) -> None:
         """Materialize the fast-query tables: the fused Pallas table for the
@@ -384,6 +408,8 @@ class HNSW:
                     mini_words=self.mini_words,
                     block_q=block_q,
                     hop=self.query_hop,
+                    entry_beams=self.query_entry_beams,
+                    tie_bits=self._tie_bits(),
                 )
             elif use_fused:
                 from ..ops.pallas_search import fused_width
@@ -505,6 +531,7 @@ class HNSWBuilder:
         self.inline_words = 0  # >0: adj_pts holds truncated prefixes
         self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
+        self._sealed = False  # set by a reorder build; see _check_unsealed
         # deterministic level RNG (hnsw.rs:24-30)
         self._rng = np.random.RandomState(rng_seed(self.opts))
         self._ml = 1.0 / math.log(max(2, self.opts.connections))
@@ -560,6 +587,7 @@ class HNSWBuilder:
 
     # -- builder API --------------------------------------------------------
     def _ensure_points(self, sample: np.ndarray):
+        self._check_unsealed()
         if self.points is None:
             self.points = jnp.zeros(
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
@@ -742,7 +770,18 @@ class HNSWBuilder:
         self.n = warm
         return warm
 
+    def _check_unsealed(self) -> None:
+        # see NSWBuilder._check_unsealed (identical hazard, ADVICE round 4)
+        if self._sealed:
+            raise RuntimeError(
+                "builder is sealed after a reorder build: further "
+                "extend/build would compose relabels and corrupt the "
+                "id_map; create a new builder (or set reorder=False and "
+                "call index.reorder() yourself)"
+            )
+
     def build(self) -> HNSW:
+        self._check_unsealed()
         self._drain_spill()
         # spill entries never drained by a prune are lost: count as drops
         self.edge_drops.append(jnp.sum((self.spill[:-1] >= 0).astype(jnp.int32)))
@@ -785,10 +824,12 @@ class HNSWBuilder:
             # Leftover spill ids live in the OLD id space and were already
             # drained + counted as drops, so blank them; the builder is
             # SEALED after a reorder build (further extend is unsupported
-            # — the trimmed level arrays have no growth headroom).
+            # — the trimmed level arrays have no growth headroom), enforced
+            # by _check_unsealed.
             self.points, self.base, self.levels = h.points, h.base, h.levels
             self.ep = h.ep
             self.spill = jnp.full_like(self.spill, -1)
+            self._sealed = True
         if had_inline:
             h.enable_inline()  # fused table (or inline rows) + level rows
         return h

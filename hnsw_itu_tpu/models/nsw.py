@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import GraphArrays, make_graph
-from ..ops.entry import sampled_entry
+from ..ops.entry import sampled_entry, sampled_entry_topk
 from ..ops.metrics import Metric, get_metric
 from ..ops.search import batched_beam_search
 from ..ops.topk import inverse_permutation
@@ -341,42 +341,59 @@ def _mini_config_for(points, adj, metric) -> tuple[int, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "max_steps", "entry_sample",
-                     "W", "mini_words", "block_q", "hop"),
+                     "W", "mini_words", "block_q", "hop", "entry_beams",
+                     "tie_bits"),
 )
 def _query_step_mini(points, mini, qs, ep, n=None, *, k, ef, metric_name,
                      max_steps, entry_sample, W, mini_words, block_q,
-                     eps=None, adj=None, hop=0):
+                     eps=None, adj=None, hop=0, entry_beams=1, tie_bits=0):
     """Mini-kernel query step: sampled entry + PREFIX entry distances in
     XLA, estimated-distance beam search in one Pallas kernel (one DMA per
     expansion from the inline mini table), then an exact full-sketch
     rerank of the whole final beam. The >1.3M-node regime where no exact
     fused table fits HBM (docs/SCALE.md). ``hop`` > 0 adds the one-hop
     expansion rerank (rerank_onehop) seeded by the ``hop`` exact-best
-    beam ids — the recall equalizer when mini_words is small."""
+    beam ids — the recall equalizer when mini_words is small.
+    ``entry_beams`` > 1 seeds each query's beam with the top-B of the MXU
+    entry sample (free in the already-paid dense block). ``tie_bits`` > 0
+    orders beam ties by bit-reversed id (required for recall on
+    BFS-reordered tables; ops/pallas_dma_search.bitrev_ids)."""
     from ..ops.pallas_dma_search import (IINF, mini_beam_search,
                                          rerank_exact, rerank_onehop)
 
     metric = get_metric(metric_name)
+    B = qs.shape[0]
+    E = max(1, entry_beams)
     if eps is None:
         if entry_sample > 0 and n is not None:
-            eps = sampled_entry(points, qs, n, sample_size=entry_sample,
-                                metric=metric)
+            if E > 1:
+                eps, _ = sampled_entry_topk(
+                    points, qs, n, sample_size=entry_sample, beams=E,
+                    metric=metric,
+                )
+            else:
+                eps = sampled_entry(points, qs, n,
+                                    sample_size=entry_sample,
+                                    metric=metric)[:, None]
         else:
-            eps = jnp.full((qs.shape[0],), ep, jnp.int32)
+            # no sample to draw distinct seeds from: single global ep
+            eps = jnp.full((B, 1), ep, jnp.int32)
+    else:
+        eps = eps[:, None] if eps.ndim == 1 else eps
+    # PREFIX distances of every seed (the kernel beams rank on estimates)
+    sp = points[eps].reshape(B, eps.shape[1], -1)[:, :, :mini_words]
+    qp = qs.reshape(B, 1, -1)[:, :, :mini_words]
     d0 = jnp.sum(
-        jax.lax.population_count(
-            qs.reshape(qs.shape[0], -1)[:, :mini_words]
-            ^ points[eps].reshape(qs.shape[0], -1)[:, :mini_words]
-        ),
-        axis=1,
-    ).astype(jnp.int32)
+        jax.lax.population_count(sp ^ qp), axis=2
+    ).astype(jnp.int32)  # [B, E']
     # entry-distance sort: see _query_step_fused
-    order = jnp.argsort(d0)
+    order = jnp.argsort(jnp.min(d0, axis=1))
     inv = inverse_permutation(order)
     outd, outi, vis, stp = mini_beam_search(
         mini, qs[order], d0[order], eps[order], ef=max(ef, k), W=W,
         mini_words=mini_words, max_steps=max_steps, block_q=block_q,
         interpret=os.environ.get("HNSW_TPU_MINI_INTERPRET") == "1",
+        tie_bits=tie_bits,
     )
     if hop > 0 and adj is not None:
         dk, ik = rerank_onehop(points, adj, qs[order], outi, k=k, seeds=hop)
@@ -433,7 +450,14 @@ class NSW:
         self.query_batch = 1024
         self.query_dedup = "bitmask"
         self.query_entry_sample = 0  # >0: MXU sampled entry (ops/entry.py)
+        self.query_entry_beams = 1  # >1: seed the beam with the sample's
+        # top-B (mini path; needs query_entry_sample > 0)
         self.query_hop = 0  # >0: one-hop exact rerank seeds (mini path)
+        # mini-path tie order: "auto" = bit-reversed ids iff the index was
+        # BFS-reordered (plain id ties there keep entry-proximal nodes and
+        # cost ~5 recall points at 10M — docs/SCALE.md); "id" / "bitrev"
+        # pin either order for A/B runs
+        self.query_tie = "auto"
         self.max_steps = None  # None = auto (2*ef, the measured safe cap)
         self.use_pallas = True  # fused kernel when eligible
         self.last_stats = None
@@ -492,6 +516,20 @@ class NSW:
         # stragglers past ~ef expansions contribute no recall (measured)
         # but gate the whole lockstep batch; 2*ef is a safe margin
         return self.max_steps if self.max_steps else max(2 * ef, 64)
+
+    def _tie_bits(self) -> int:
+        """Resolved tie-decorrelation bits for the mini kernels: 0 = plain
+        (d, id) order; >0 = order ties by bit-reversed id. "auto" turns it
+        on exactly when the index was reordered (id_map set) — plain-order
+        tables break ties randomly w.r.t. geometry already, while BFS rank
+        makes low id = entry-proximal (measured -5 recall points,
+        docs/SCALE.md)."""
+        tie = self.query_tie
+        if tie == "id" or (tie == "auto" and self.id_map is None):
+            return 0
+        if tie not in ("auto", "bitrev"):
+            raise ValueError(f"unknown query_tie {tie!r}")
+        return max(1, (self.graph.capacity - 1).bit_length())
 
     def enable_inline(self) -> None:
         """Materialize the fast-query tables: the fused Pallas table when
@@ -583,6 +621,8 @@ class NSW:
                     block_q=block_q,
                     adj=self.graph.adj,
                     hop=self.query_hop,
+                    entry_beams=self.query_entry_beams,
+                    tie_bits=self._tie_bits(),
                 )
             elif use_fused:
                 from ..ops.pallas_search import fused_width
@@ -664,6 +704,7 @@ class NSWBuilder:
         self.inline_words = 0  # >0: adj_pts holds truncated prefixes
         self.spill = _build.make_spill(self.opts.size)  # overflow recovery
         self.edge_drops = []  # per-chunk reverse-edge drop counts (device)
+        self._sealed = False  # set by a reorder build; see _check_unsealed
 
     def total_edge_drops(self) -> int:
         """Reverse edges lost to full rows across the whole build
@@ -777,6 +818,7 @@ class NSWBuilder:
         )
 
     def _ensure_points(self, sample: np.ndarray):
+        self._check_unsealed()
         if self.points is None:
             self.points = jnp.zeros(
                 (self.opts.size, *sample.shape[1:]), dtype=sample.dtype
@@ -942,7 +984,22 @@ class NSWBuilder:
         self.n = warm
         return warm
 
+    def _check_unsealed(self) -> None:
+        """A reorder build permutes the builder's arrays into the NEW id
+        space and sets a fresh id_map on the index; re-running build() (or
+        extending) would reorder the already-permuted arrays and emit an
+        id_map into the FIRST relabel's space — knns would then silently
+        return wrong ids (ADVICE round 4). Refuse instead."""
+        if self._sealed:
+            raise RuntimeError(
+                "builder is sealed after a reorder build: further "
+                "extend/build would compose relabels and corrupt the "
+                "id_map; create a new builder (or set reorder=False and "
+                "call index.reorder() yourself)"
+            )
+
     def build(self) -> NSW:
+        self._check_unsealed()
         self._drain_spill()
         # spill entries never drained by a prune are lost for good: count
         # them as drops so the logged rate stays honest
@@ -969,6 +1026,7 @@ class NSWBuilder:
             # alongside the new query tables (see HNSWBuilder.build).
             self.points, self.graph, self.ep = nsw.points, nsw.graph, nsw.ep
             self.spill = jnp.full_like(self.spill, -1)
+            self._sealed = True
         if had_inline:
             nsw.enable_inline()  # fused table (or fresh inline rows)
         return nsw

@@ -41,3 +41,24 @@ def sampled_entry(points, qs, n, *, sample_size: int, metric: Metric):
     d = metric.pairwise_mxu(qs, sample)  # [B, S]
     best = jnp.argmin(d, axis=1)
     return ids[best]
+
+
+def sampled_entry_topk(points, qs, n, *, sample_size: int, beams: int,
+                       metric: Metric):
+    """Per-query top-``beams`` entry ids over the strided sample.
+
+    Multi-seed entry: the dense MXU block already computes distances to
+    every sample point, so taking its top-B instead of top-1 is free
+    compute — B distinct seeds spread the beam start across B near
+    clusters, attacking the entry/expansion starvation measured at 10M
+    (exact-path recall 0.75 at ef=64 with one seed, benches/RESULTS.md).
+    Seed ids are DISTINCT (sample ids are unique). Returns
+    (ids int32[B, beams], dists [B, beams]) ascending by distance.
+    """
+    if beams > sample_size:
+        raise ValueError(f"beams={beams} > sample_size={sample_size}")
+    ids = strided_sample_ids(n, sample_size)
+    sample = points[ids]
+    d = metric.pairwise_mxu(qs, sample)  # [B, S]
+    negd, pos = jax.lax.top_k(-d, beams)
+    return ids[pos], -negd

@@ -182,15 +182,21 @@ L2INT = SquaredL2Int()
 L2 = SquaredL2()
 
 _REGISTRY = {m.name: m for m in (HAMMING, L2INT, L2)}
+# names that have been RESOLVED since process start: a compiled executable
+# can only bake in a metric that some trace looked up here, so an
+# overwrite of a never-resolved name needs no cache clear (ADVICE round 4)
+_RESOLVED: set = set()
 
 
 def get_metric(name: str) -> Metric:
     try:
-        return _REGISTRY[name]
+        m = _REGISTRY[name]
     except KeyError:
         raise ValueError(
             f"unknown metric {name!r}; known: {sorted(_REGISTRY)}"
         ) from None
+    _RESOLVED.add(name)
+    return m
 
 
 def register_metric(metric: Metric, *, overwrite: bool = False) -> Metric:
@@ -220,18 +226,20 @@ def register_metric(metric: Metric, *, overwrite: bool = False) -> Metric:
             f"metric {metric.name!r} already registered "
             "(pass overwrite=True to replace)"
         )
-    if overwrite:
+    if overwrite and metric.name in _RESOLVED:
         # the jitted query/build steps cache executables keyed by the
         # static metric NAME — a same-shape call after a replacement
-        # would silently keep computing the OLD metric's distances. Drop
-        # the compiled caches whenever the caller signals replacement
-        # intent (not just when the name is currently present: a pop-
-        # then-register through the private registry would otherwise
-        # skip the clear and reuse stale kernels). Registration happens
-        # at setup time, so the blanket clear is cheap in practice.
+        # would silently keep computing the OLD metric's distances. An
+        # executable can only bake in a metric some trace RESOLVED via
+        # get_metric, so the (process-wide, expensive in long sessions)
+        # clear fires only for names actually seen by a trace — the
+        # common overwrite-at-setup of a fresh name costs nothing. This
+        # also covers pop-then-register through the private registry:
+        # _RESOLVED is never cleared by removal.
         import jax
 
         jax.clear_caches()
+        _RESOLVED.discard(metric.name)
     _REGISTRY[metric.name] = metric
     return metric
 

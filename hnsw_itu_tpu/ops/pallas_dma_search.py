@@ -57,6 +57,35 @@ def _next_pow2(x: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# tie-decorrelation id relabel (bit reversal)
+# ---------------------------------------------------------------------------
+
+
+def bitrev_ids(x, bits: int):
+    """Bijective involution on [0, 2**bits): reverse the low ``bits`` bits.
+
+    The beam's (d, id) lex order breaks estimated-distance ties by id, and
+    after a BFS locality reorder (ops/reorder.py) low id == entry-proximal —
+    so ties systematically keep entry-near candidates and the beam loses
+    exploration depth (measured -5 recall points at 10M,
+    benches/results_10m_reorder.json). Encoding the ORDERING id as the
+    bit-reversal of the real id breaks that correlation (adjacent ranks land
+    2**(bits-1) apart) while the DMA layout keeps the BFS locality: encode
+    before every key compare, decode (same function — it is an involution)
+    at the expansion fetch. Runs on uint32 so the shifts stay logical;
+    callers guarantee x < 2**bits on lanes they consume (masked lanes may
+    hold garbage).
+    """
+    x = x.astype(jnp.uint32)
+    x = ((x >> 1) & 0x55555555) | ((x & 0x55555555) << 1)
+    x = ((x >> 2) & 0x33333333) | ((x & 0x33333333) << 2)
+    x = ((x >> 4) & 0x0F0F0F0F) | ((x & 0x0F0F0F0F) << 4)
+    x = ((x >> 8) & 0x00FF00FF) | ((x & 0x00FF00FF) << 8)
+    x = (x >> 16) | (x << 16)
+    return (x >> (32 - bits)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # packed tables (XLA side)
 # ---------------------------------------------------------------------------
 
@@ -502,7 +531,8 @@ def _make_kernel(*, ef, half, W, words, max_steps, bq, cap):
     return kernel
 
 
-def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
+def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap,
+                      ne=1, tie_bits=0):
     TOT = 2 * half
     REP = LANES // W
     S = mini_subrows(W, mini_words)
@@ -510,12 +540,17 @@ def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
     def kernel(qt_ref, initd_ref, initi_ref, mini_hbm,
                outd_ref, outi_ref, vis_ref, stp_ref,
                bd, bi, fb, rows, eref, sem):
+        # ne seeds (sorted asc by (d, id), distinct, ALREADY tie-encoded
+        # when tie_bits > 0) fill lanes 0..ne-1 — multi-seed entry from the
+        # MXU sample's top-B (ops/entry.py sampled_entry_topk)
         bd[:] = jnp.full((bq, TOT), DINF, jnp.int32)
         bi[:] = jnp.full((bq, TOT), IINF, jnp.int32)
-        bd[:, 0:1] = initd_ref[:]
-        bi[:, 0:1] = initi_ref[:]
+        bd[:, 0:ne] = initd_ref[:]
+        bi[:, 0:ne] = initi_ref[:]
         fb[:] = jnp.zeros((bq, TOT), jnp.int32)
-        vis_ref[:] = jnp.ones((bq, 1), jnp.int32)
+        vis_ref[:] = jnp.sum(
+            (initi_ref[:] < IINF).astype(jnp.int32), axis=1, keepdims=True
+        )
         stp_ref[:] = jnp.zeros((bq, 1), jnp.int32)
 
         cand_lane = jax.lax.broadcasted_iota(jnp.int32, (bq, W), 1)
@@ -536,7 +571,14 @@ def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
                 (hd == md) & (hi == mi) & jnp.logical_not(done),
                 1, fb[:, :half],
             )
-            eid = jnp.minimum(jnp.maximum(mi, 0), cap - 1)
+            if tie_bits:
+                # beam ids are tie-ENCODED; decode (involution) for the DMA
+                mi_dec = bitrev_ids(
+                    jnp.clip(mi, 0, (1 << tie_bits) - 1), tie_bits
+                )
+                eid = jnp.minimum(jnp.maximum(mi_dec, 0), cap - 1)
+            else:
+                eid = jnp.minimum(jnp.maximum(mi, 0), cap - 1)
             eref[:] = jnp.where(done, 0, eid)
             stp_ref[:] = stp_ref[:] + jnp.where(done, 0, 1)
 
@@ -574,6 +616,11 @@ def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
 
             nbr = rows[:, 0, :W].astype(jnp.int32)  # ids (word-index 0)
             valid = (nbr >= 0) & jnp.logical_not(done)
+            if tie_bits:
+                # encode to the tie-decorrelated key space (beam ids and
+                # all compares below live there); invalid lanes -> -1 so
+                # they can never match a beam slot
+                nbr = jnp.where(valid, bitrev_ids(nbr, tie_bits), -1)
 
             # ---- dedup vs beam ids
             dup = jnp.zeros((bq, W), jnp.int32)
@@ -630,7 +677,8 @@ def _make_mini_kernel(*, ef, half, W, mini_words, max_steps, bq, cap):
     return kernel, S
 
 
-def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
+def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap,
+                             ne=1, tie_bits=0):
     """Two-queries-per-row mini kernel (beam half == 64 only): queries
     2i/2i+1 share one 128-lane row — a in lanes 0-63, b in 64-127 — so
     the two-plane bitonic networks and the dedup rotation run at
@@ -645,14 +693,23 @@ def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
     def kernel(qt_ref, initd_ref, initi_ref, mini_hbm,
                outd_ref, outi_ref, vis_ref, stp_ref,
                bd, bi, fb, rows, eref, sem):
+        # init planes arrive [bq2, 2*ne]: query a's ne seeds then query b's
+        # (sorted asc, distinct, tie-encoded when tie_bits > 0)
         bd[:] = jnp.full((bq2, LANES), DINF, jnp.int32)
         bi[:] = jnp.full((bq2, LANES), IINF, jnp.int32)
-        bd[:, 0:1] = initd_ref[:, 0:1]
-        bd[:, SPAN : SPAN + 1] = initd_ref[:, 1:2]
-        bi[:, 0:1] = initi_ref[:, 0:1]
-        bi[:, SPAN : SPAN + 1] = initi_ref[:, 1:2]
+        bd[:, 0:ne] = initd_ref[:, 0:ne]
+        bd[:, SPAN : SPAN + ne] = initd_ref[:, ne : 2 * ne]
+        bi[:, 0:ne] = initi_ref[:, 0:ne]
+        bi[:, SPAN : SPAN + ne] = initi_ref[:, ne : 2 * ne]
         fb[:] = jnp.zeros((bq2, LANES), jnp.int32)
-        vis_ref[:] = jnp.ones((bq2, 2), jnp.int32)
+        vis_ref[:, 0:1] = jnp.sum(
+            (initi_ref[:, 0:ne] < IINF).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+        vis_ref[:, 1:2] = jnp.sum(
+            (initi_ref[:, ne : 2 * ne] < IINF).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
         stp_ref[:] = jnp.zeros((bq2, 2), jnp.int32)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (bq2, LANES), 1)
@@ -692,11 +749,17 @@ def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
                 & jnp.logical_not(done_l),
                 1, fb[:],
             )
+            if tie_bits:
+                hi_mask = (1 << tie_bits) - 1
+                mi_a_dec = bitrev_ids(jnp.clip(mi_a, 0, hi_mask), tie_bits)
+                mi_b_dec = bitrev_ids(jnp.clip(mi_b, 0, hi_mask), tie_bits)
+            else:
+                mi_a_dec, mi_b_dec = mi_a, mi_b
             eref[:, 0:1] = jnp.where(
-                done_a, 0, jnp.minimum(jnp.maximum(mi_a, 0), cap - 1)
+                done_a, 0, jnp.minimum(jnp.maximum(mi_a_dec, 0), cap - 1)
             )
             eref[:, 1:2] = jnp.where(
-                done_b, 0, jnp.minimum(jnp.maximum(mi_b, 0), cap - 1)
+                done_b, 0, jnp.minimum(jnp.maximum(mi_b_dec, 0), cap - 1)
             )
             stp_ref[:, 0:1] = stp_ref[:, 0:1] + jnp.where(done_a, 0, 1)
             stp_ref[:, 1:2] = stp_ref[:, 1:2] + jnp.where(done_b, 0, 1)
@@ -755,6 +818,8 @@ def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
             nbr = jnp.concatenate([na[:, :SPAN], nb[:, :SPAN]], axis=1)
             nbr = jnp.where(elem < W, nbr, -1)
             valid = (nbr >= 0) & jnp.logical_not(done_l)
+            if tie_bits:
+                nbr = jnp.where(valid, bitrev_ids(nbr, tie_bits), -1)
 
             # ---- dedup vs own beam: within-span rotation -------------------
             def dd(it, c):
@@ -807,10 +872,150 @@ def _make_mini_kernel_packed(*, ef, W, mini_words, max_steps, bq, cap):
     return kernel, S
 
 
+def _make_mini_kernel_s128(*, ef, W, mini_words, max_steps, bq, cap,
+                           ne=1, tie_bits=0):
+    """One-query-per-ROW mini kernel for beam half == 128 (64 < ef <= 128):
+    the beam is a single [bq, 128] plane and the merge is the cross-plane
+    swap + intra-row bitonic merge (same trick as _merge2_packed at
+    span=128) — the unpacked kernel at half=128 instead carries [bq, 256]
+    planes whose sort networks cross vector registers, the measured 3.5x
+    per-step cliff past ef=64 (benches/results_10m.json ef=96 vs 64).
+    Semantics are IDENTICAL to _make_mini_kernel at half=128: same (d, id)
+    lex order, termination, visited and step accounting (bit-exactness:
+    tests/test_dma_search.py)."""
+    S = mini_subrows(W, mini_words)
+
+    def kernel(qt_ref, initd_ref, initi_ref, mini_hbm,
+               outd_ref, outi_ref, vis_ref, stp_ref,
+               bd, bi, fb, rows, eref, sem):
+        bd[:] = jnp.full((bq, LANES), DINF, jnp.int32)
+        bi[:] = jnp.full((bq, LANES), IINF, jnp.int32)
+        bd[:, 0:ne] = initd_ref[:]
+        bi[:, 0:ne] = initi_ref[:]
+        fb[:] = jnp.zeros((bq, LANES), jnp.int32)
+        vis_ref[:] = jnp.sum(
+            (initi_ref[:] < IINF).astype(jnp.int32), axis=1, keepdims=True
+        )
+        stp_ref[:] = jnp.zeros((bq, 1), jnp.int32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, LANES), 1)
+
+        def body(carry):
+            step, _ = carry
+            # ---- frontier: lex-min unexpanded (d, id) over the full row
+            live = (fb[:] == 0) & (bd[:] < DINF)
+            md = jnp.min(jnp.where(live, bd[:], DINF), axis=1, keepdims=True)
+            mi = jnp.min(
+                jnp.where(live & (bd[:] == md), bi[:], IINF),
+                axis=1, keepdims=True,
+            )
+            wd = bd[:, ef - 1 : ef]
+            wi = bi[:, ef - 1 : ef]
+            done = (md >= DINF) | (md > wd) | ((md == wd) & (mi > wi))
+            fb[:] = jnp.where(
+                (bd[:] == md) & (bi[:] == mi) & jnp.logical_not(done),
+                1, fb[:],
+            )
+            if tie_bits:
+                mi_dec = bitrev_ids(
+                    jnp.clip(mi, 0, (1 << tie_bits) - 1), tie_bits
+                )
+            else:
+                mi_dec = mi
+            eref[:] = jnp.where(
+                done, 0, jnp.minimum(jnp.maximum(mi_dec, 0), cap - 1)
+            )
+            stp_ref[:] = stp_ref[:] + jnp.where(done, 0, 1)
+
+            # ---- ONE DMA per query
+            def issue(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i], sem
+                ).start()
+                return c
+
+            jax.lax.fori_loop(0, bq, issue, 0, unroll=bq)
+
+            def wait(i, c):
+                pltpu.make_async_copy(
+                    mini_hbm.at[eref[i, 0]], rows.at[i], sem
+                ).wait()
+                return c
+
+            jax.lax.fori_loop(0, bq, wait, 0, unroll=bq)
+
+            # ---- estimated distances (same reduction as the unpacked
+            # kernel), padded to the full 128-lane candidate row
+            pc = jax.lax.population_count(
+                jnp.bitwise_xor(rows[:], qt_ref[:])
+            ).astype(jnp.int32)  # [bq, S, 128]
+            ln3 = jax.lax.broadcasted_iota(jnp.int32, (bq, S, LANES), 2)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (bq, S, LANES), 1)
+            is_id = (sub == 0) & (ln3 < W)
+            pc = jnp.where(is_id, 0, pc)
+            acc = jnp.sum(pc, axis=1)  # [bq, 128]
+            w = LANES
+            while w > W:
+                w //= 2
+                acc = acc[:, :w] + acc[:, w:]
+            if W < LANES:
+                acc = jnp.concatenate(
+                    [acc, jnp.full((bq, LANES - W), DINF, jnp.int32)], axis=1
+                )
+            cd = acc  # [bq, 128]
+
+            nbr = rows[:, 0, :].astype(jnp.int32)  # [bq, 128]
+            nbr = jnp.where(lane < W, nbr, -1)
+            valid = (nbr >= 0) & jnp.logical_not(done)
+            if tie_bits:
+                nbr = jnp.where(valid, bitrev_ids(nbr, tie_bits), -1)
+
+            # ---- dedup vs beam: full-row rotation
+            def dd(it, c):
+                dup, bc = c
+                return (dup | (nbr == bc).astype(jnp.int32),
+                        pltpu.roll(bc, 1, axis=1))
+
+            dup, _ = jax.lax.fori_loop(
+                0, LANES, dd, (jnp.zeros((bq, LANES), jnp.int32), bi[:])
+            )
+            fresh = valid & (dup == 0)
+            vis_ref[:] = vis_ref[:] + jnp.sum(
+                fresh.astype(jnp.int32), axis=1, keepdims=True
+            )
+            cdm = jnp.where(fresh, cd, DINF)
+            cim = jnp.where(fresh, nbr, IINF)
+
+            # ---- merge: desc-sort candidates, cross-plane swap + merge
+            sd, si = _bitonic_sort2(cdm, cim, descending=True)
+            nd, ni, nf = _merge2_packed(bd[:], bi[:], fb[:], sd, si, LANES)
+            if ef < LANES:
+                evict = lane >= ef
+                nd = jnp.where(evict, DINF, nd)
+                ni = jnp.where(evict, IINF, ni)
+                nf = jnp.where(evict, 0, nf)
+            bd[:] = nd
+            bi[:] = ni
+            fb[:] = nf
+
+            alive = jnp.logical_not(jnp.all(done))
+            return step + 1, alive
+
+        def cond(carry):
+            step, alive = carry
+            return alive & (step < max_steps)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        outd_ref[:] = bd[:]
+        outi_ref[:] = bi[:]
+
+    return kernel, S
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "W", "mini_words", "max_steps", "block_q",
-                     "interpret", "packed"),
+                     "interpret", "packed", "tie_bits"),
 )
 def mini_beam_search(
     mini,
@@ -825,16 +1030,26 @@ def mini_beam_search(
     block_q: int = 256,
     interpret: bool = False,
     packed: str = "auto",
+    tie_bits: int = 0,
 ):
     """Beam search on ESTIMATED (prefix minisketch) distances: one DMA per
     expansion from the inline mini table. ``init_d`` must be the PREFIX
-    distance of the entry point (same mini_words). Returns prefix
-    distances — rerank the ids with full sketches (``rerank_exact``) for
-    final results.
+    distance(s) of the entry point(s) (same mini_words); ``init_d`` /
+    ``init_i`` are [B] (one seed) or [B, E] (E DISTINCT seeds per query,
+    any order — sorted here). Returns prefix distances — rerank the ids
+    with full sketches (``rerank_exact``) for final results.
 
-    ``packed`` selects the two-queries-per-row kernel ("auto": whenever
-    the beam half is 64 lanes, i.e. ef <= 64 and W <= 64; "never"/
-    "always" to pin for A/B runs). Results are identical either way."""
+    ``packed`` selects the kernel: "auto" picks the two-queries-per-row
+    kernel at beam half 64 (ef <= 64, W <= 64) and the one-query-per-row
+    span-128 kernel at beam half 128 (64 < ef <= 128); "never" pins the
+    unpacked reference kernel; "always"/"span128" pin the fast variants
+    for A/B runs. Results are identical across kernels.
+
+    ``tie_bits`` > 0 turns on tie decorrelation: beam keys order by the
+    BIT-REVERSED id (bitrev_ids) so estimated-distance ties stop favoring
+    low ids — required for recall parity on BFS-reordered tables (where
+    low id == entry-proximal; docs/SCALE.md). Ids returned are REAL ids
+    either way. Requires cap <= 2**tie_bits."""
     B = queries.shape[0]
     if B % block_q != 0:
         raise ValueError(f"B={B} not a multiple of block_q={block_q}")
@@ -842,18 +1057,65 @@ def mini_beam_search(
     if half > LANES:
         raise ValueError(f"ef={ef} needs beam half {half} > {LANES} lanes")
     cap = mini.shape[0]
+    if tie_bits and cap > (1 << tie_bits):
+        raise ValueError(f"cap={cap} exceeds 2**tie_bits={1 << tie_bits}")
     qt = mini_query_tiles(queries, W, mini_words)
-    use_packed = (half == 64 and block_q % 2 == 0
-                  if packed == "auto" else packed == "always")
+    init_d = init_d.reshape(B, -1).astype(jnp.int32)
+    init_i = init_i.reshape(B, -1).astype(jnp.int32)
+    E = init_i.shape[1]
+    if E > min(ef, half):
+        raise ValueError(f"{E} entry seeds > ef={ef}")
+    if tie_bits:
+        init_i = jnp.where(
+            init_i < IINF, bitrev_ids(init_i, tie_bits), init_i
+        )
+    if E > 1:
+        # the kernels require the seed prefix sorted asc by (d, id) — the
+        # first merge treats the beam half as an ascending run
+        init_d, init_i = jax.lax.sort((init_d, init_i), num_keys=2)
+    if packed == "auto":
+        use_packed = half == 64 and block_q % 2 == 0
+        use_s128 = half == 128
+    else:
+        use_packed = packed == "always"
+        use_s128 = packed == "span128"
     if use_packed:
-        return _mini_packed(
+        outd, outi, vis, stp = _mini_packed(
             mini, qt, init_d, init_i, ef=ef, W=W, mini_words=mini_words,
             max_steps=max_steps, block_q=block_q, interpret=interpret,
+            tie_bits=tie_bits,
         )
-    kernel, S = _make_mini_kernel(
-        ef=ef, half=half, W=W, mini_words=mini_words, max_steps=max_steps,
-        bq=block_q, cap=cap,
-    )
+    elif use_s128:
+        if half != 128:
+            raise ValueError("span128 kernel requires beam half == 128")
+        kernel, S = _make_mini_kernel_s128(
+            ef=ef, W=W, mini_words=mini_words, max_steps=max_steps,
+            bq=block_q, cap=cap, ne=E, tie_bits=tie_bits,
+        )
+        outd, outi, vis, stp = _mini_call(
+            kernel, S, mini, qt, init_d, init_i, B=B, half=128,
+            block_q=block_q, interpret=interpret, beam_scratch=LANES,
+        )
+    else:
+        kernel, S = _make_mini_kernel(
+            ef=ef, half=half, W=W, mini_words=mini_words,
+            max_steps=max_steps, bq=block_q, cap=cap, ne=E,
+            tie_bits=tie_bits,
+        )
+        outd, outi, vis, stp = _mini_call(
+            kernel, S, mini, qt, init_d, init_i, B=B, half=half,
+            block_q=block_q, interpret=interpret, beam_scratch=2 * half,
+        )
+    if tie_bits:
+        outi = jnp.where(outi < IINF, bitrev_ids(outi, tie_bits), outi)
+    return outd, outi, vis, stp
+
+
+def _mini_call(kernel, S, mini, qt, init_d, init_i, *, B, half, block_q,
+               interpret, beam_scratch):
+    """pallas_call plumbing shared by the unpacked and span-128 mini
+    kernels (one query per row; [B, E] init planes)."""
+    E = init_i.shape[1]
     grid = (B // block_q,)
     outd, outi, vis, stp = pl.pallas_call(
         kernel,
@@ -867,9 +1129,9 @@ def mini_beam_search(
         in_specs=[
             pl.BlockSpec((block_q, S, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_q, E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda i: (i, 0),
+            pl.BlockSpec((block_q, E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -884,31 +1146,32 @@ def mini_beam_search(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # beam est dists
-            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # beam ids
-            pltpu.VMEM((block_q, 2 * half), jnp.int32),   # expanded flags
-            pltpu.VMEM((block_q, S, LANES), jnp.uint32),  # mini rows
-            pltpu.VMEM((block_q, 1), jnp.int32),          # expansion ids
+            pltpu.VMEM((block_q, beam_scratch), jnp.int32),  # beam dists
+            pltpu.VMEM((block_q, beam_scratch), jnp.int32),  # beam ids
+            pltpu.VMEM((block_q, beam_scratch), jnp.int32),  # expanded
+            pltpu.VMEM((block_q, S, LANES), jnp.uint32),     # mini rows
+            pltpu.VMEM((block_q, 1), jnp.int32),             # expansion ids
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(qt, init_d.reshape(B, 1), init_i.reshape(B, 1), mini)
+    )(qt, init_d, init_i, mini)
     return outd, outi, vis[:, 0], stp[:, 0]
 
 
 def _mini_packed(mini, qt, init_d, init_i, *, ef, W, mini_words, max_steps,
-                 block_q, interpret):
+                 block_q, interpret, tie_bits=0):
     """pallas_call plumbing for the two-queries-per-row mini kernel:
     query tiles [B, S, 128] -> [B/2, 2S, 128] (row pair = subrow concat),
-    init planes [B] -> [B/2, 2], outputs [B/2, 128] -> [B, 64]."""
+    init planes [B, E] -> [B/2, 2E], outputs [B/2, 128] -> [B, 64]."""
     B = qt.shape[0]
+    E = init_i.shape[1]
     bq2 = block_q // 2
     kernel, S = _make_mini_kernel_packed(
         ef=ef, W=W, mini_words=mini_words, max_steps=max_steps,
-        bq=block_q, cap=mini.shape[0],
+        bq=block_q, cap=mini.shape[0], ne=E, tie_bits=tie_bits,
     )
     qt2 = qt.reshape(B // 2, 2 * S, LANES)
     grid = (B // block_q,)
@@ -924,9 +1187,9 @@ def _mini_packed(mini, qt, init_d, init_i, *, ef, W, mini_words, max_steps,
         in_specs=[
             pl.BlockSpec((bq2, 2 * S, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+            pl.BlockSpec((bq2, 2 * E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq2, 2), lambda i: (i, 0),
+            pl.BlockSpec((bq2, 2 * E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -952,7 +1215,8 @@ def _mini_packed(mini, qt, init_d, init_i, *, ef, W, mini_words, max_steps,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(qt2, init_d.reshape(B // 2, 2), init_i.reshape(B // 2, 2), mini)
+    )(qt2, init_d.reshape(B // 2, 2 * E),
+      init_i.reshape(B // 2, 2 * E), mini)
     return (outd.reshape(B, 64), outi.reshape(B, 64),
             vis.reshape(B), stp.reshape(B))
 

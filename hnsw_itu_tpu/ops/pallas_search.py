@@ -650,11 +650,14 @@ def fused_beam_search(
     ``max_d`` is clamped in-kernel to 2^(31 - id_bits) - 2 when the raw
     bound would overflow int32.
 
-    ``packed`` selects the P-queries-per-row kernel ("auto": whenever the
-    beam span is <= 64 lanes — span 64 packs two queries per 128-lane
-    row (ef, W <= 64), span 32 packs four (ef, W <= 32); "never"/"always"
-    to pin for A/B runs). Results are identical either way; only the
-    returned key-row width differs (span vs half, both >= ef)."""
+    ``packed`` selects the P-queries-per-row kernel ("auto": always — span
+    64 packs two queries per 128-lane row (ef, W <= 64), span 32 packs
+    four (ef, W <= 32), span 128 runs one query per row for
+    64 < ef <= 128, replacing the [bq, 256]-plane single-query kernel
+    whose sort networks cross vector registers (the measured per-step
+    cliff past ef=64); "never"/"always" to pin for A/B runs). Results are
+    identical either way; only the returned key-row width differs (span
+    vs half, both >= ef)."""
     cap = table.cap
     B = queries.shape[0]
     if B % block_q != 0:
@@ -676,12 +679,14 @@ def fused_beam_search(
     key_inf = (max_d + 1) << id_bits
     qt = query_tiles(queries, W)  # [B, words//REP, 128]
     use_packed = (
-        span <= 64 and block_q % (LANES // span) == 0 and dma_mode == "loop"
+        span <= LANES and block_q % (LANES // span) == 0
+        and dma_mode == "loop"
         if packed == "auto" else packed == "always"
     )
     if use_packed:
-        if span > 64:
-            raise ValueError(f"packed kernel needs ef, W <= 64 (span {span})")
+        if span > LANES:
+            raise ValueError(
+                f"packed kernel needs ef, W <= {LANES} (span {span})")
         if block_q % (LANES // span):
             raise ValueError(
                 f"block_q={block_q} not a multiple of {LANES // span}")

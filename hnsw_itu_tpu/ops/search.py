@@ -106,15 +106,19 @@ def beam_search(
     E = expand
     C = E * W  # candidates per step
 
-    ep = jnp.asarray(ep, jnp.int32)
-    d_ep = metric.one_to_many(q, get_points(ep[None]))[0]
+    # ep: scalar, or [E0] of DISTINCT per-query entry seeds (multi-seed
+    # entry, ops/entry.py sampled_entry_topk); E0 <= ef
+    eps = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
+    E0 = eps.shape[0]
+    d_eps = metric.one_to_many(q, get_points(eps))
+    d_eps, eps = jax.lax.sort((d_eps, eps), num_keys=2)
 
-    beam_d = jnp.full((ef,), inf, metric.dist_dtype).at[0].set(d_ep)
-    beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0].set(ep)
+    beam_d = jnp.full((ef,), inf, metric.dist_dtype).at[0:E0].set(d_eps)
+    beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0:E0].set(eps)
     beam_x = jnp.zeros((ef,), bool)
     if dedup == "bitmask":
         visited = bitset.insert(
-            bitset.make(capacity), ep[None], jnp.ones((1,), bool)
+            bitset.make(capacity), eps, jnp.ones((E0,), bool)
         )
     else:
         visited = jnp.zeros((0,), jnp.uint32)  # unused carry placeholder
@@ -212,7 +216,8 @@ def beam_search(
         return md[:ef], mi[:ef], mx[:ef], vis, nvis, step + 1
 
     beam_d, beam_i, beam_x, visited, n_visited, steps = jax.lax.while_loop(
-        cond, body, (beam_d, beam_i, beam_x, visited, jnp.int32(1), jnp.int32(0))
+        cond, body,
+        (beam_d, beam_i, beam_x, visited, jnp.int32(E0), jnp.int32(0)),
     )
     return SearchResult(beam_d, beam_i, n_visited, steps)
 
@@ -246,10 +251,11 @@ def _beam_search_packed(
     MASK = jnp.int32((1 << id_bits) - 1)
     KEY_INF = jnp.int32((max_d + 1) << id_bits)
 
-    ep = jnp.asarray(ep, jnp.int32)
-    d_ep = metric.one_to_many(q, get_points(ep[None]))[0].astype(jnp.int32)
-    bk0 = jnp.full((ef,), KEY_INF, jnp.int32).at[0].set(
-        (d_ep << id_bits) | ep
+    eps = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
+    E0 = eps.shape[0]
+    d_eps = metric.one_to_many(q, get_points(eps)).astype(jnp.int32)
+    bk0 = jnp.full((ef,), KEY_INF, jnp.int32).at[0:E0].set(
+        jax.lax.sort((d_eps << id_bits) | eps)
     )
     bx0 = jnp.zeros((ef,), bool)
 
@@ -308,7 +314,7 @@ def _beam_search_packed(
         return mk[:ef], mx[:ef], nvis, step + 1
 
     bk, bx, n_visited, steps = jax.lax.while_loop(
-        cond, body, (bk0, bx0, jnp.int32(1), jnp.int32(0))
+        cond, body, (bk0, bx0, jnp.int32(E0), jnp.int32(0))
     )
     valid = bk < KEY_INF
     dists = jnp.where(valid, bk >> id_bits, metric.inf)

@@ -475,7 +475,8 @@ class ShardedNSW:
         # reverse edges overflowing a full row survive across chunks until
         # the row is pruned; drops are counted — VERDICT r3 item 6)
         spill_s = shard_leading(
-            mesh, jnp.full((S, cap_s + 1, 8), -1, jnp.int32)
+            mesh,
+            jnp.full((S, cap_s + 1, _build.SPILL_WIDTH), -1, jnp.int32),
         )
         drops_s = shard_leading(mesh, jnp.zeros((S,), jnp.int32))
         pos = 1
@@ -685,7 +686,9 @@ def _query_sharded_step_hnsw(points, levels, base_adj, ep, n, qs, *, k, ef,
     adjacency) is replicated to every device and the query batch is split —
     each device runs the SAME descent + base beam the single-chip
     ``_hnsw_query_step`` runs (models/hnsw.py), so per-query results are
-    bit-identical to the unsharded path. This is the rayon par_iter
+    bit-identical to the unsharded PLAIN path (an index with fused/mini
+    tables or query_hop takes a different single-device kernel — see the
+    knns_query_sharded warning). This is the rayon par_iter
     analogue (src/index/mod.rs:27-43) for the hierarchical index; level
     arrays are tiny relative to the base (level 1 holds ~n/m nodes), so
     replication costs ~1/m of the index per device."""
@@ -725,7 +728,27 @@ def _query_sharded_step_hnsw(points, levels, base_adj, ep, n, qs, *, k, ef,
 def knns_query_sharded(index, queries, k: int, ef: int,
                        mesh: Mesh | None = None) -> KnnResult:
     """Replicated-index data parallelism over queries for a single-device
-    NSW or HNSW index — Index::knns (src/index/mod.rs:27-43) across chips."""
+    NSW or HNSW index — Index::knns (src/index/mod.rs:27-43) across chips.
+
+    The sharded step runs the plain XLA gather beam (exact distances);
+    results are bit-identical to the unsharded path for PLAIN-path indexes
+    only. A fused/mini/hop-configured index takes a different kernel on a
+    single device (estimated distances on the mini path), so results may
+    legitimately differ there and the inline tables' speed is not used —
+    warned, since callers usually want `ShardedNSW` (index sharding) for
+    those regimes (ADVICE round 4)."""
+    if (getattr(index, "fused", None) is not None
+            or getattr(index, "mini", None) is not None
+            or getattr(index, "query_hop", 0)):
+        import warnings
+
+        warnings.warn(
+            "knns_query_sharded runs the plain XLA beam: this index's "
+            "fused/mini table (or query_hop rerank) is ignored, so results "
+            "may differ from single-device knns and its speed advantage "
+            "is lost",
+            stacklevel=2,
+        )
     mesh = mesh or make_mesh()
     S = mesh.devices.size
     qs = np.asarray(queries)

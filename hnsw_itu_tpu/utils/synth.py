@@ -75,16 +75,54 @@ def make_points(
     return out
 
 
+# Distribution profiles for the claims-robustness sweep (VERDICT round 4
+# item 4): every committed recall number historically rode ONE generator
+# shape; these vary cluster granularity, cluster width, and add a uniform
+# heavy tail so the es/hop query recipe can be shown (or shown not) to be
+# generator-tuned. "default" is the historical navigable multi-scale shape.
+#   name        leaves   point flip p   extras
+#   default     n/128    0.08           —
+#   fine        n/32     0.05           4x more, tighter clusters
+#   coarse      n/512    0.12           4x fewer, wider clusters
+#   tail        n/128    0.08           20% of points uniform random
+#                                       (queries still cluster-drawn —
+#                                       the tail is pure distractor mass)
+PROFILES = ("default", "fine", "coarse", "tail")
+
+
 def make_dataset(
-    seed: int, n: int, nq: int, n_leaf: int | None = None
+    seed: int, n: int, nq: int, n_leaf: int | None = None,
+    profile: str = "default",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(points[n,32], queries[nq,32]) drawn from the same leaf clusters.
 
     Default leaf count n//128 keeps the round-1/2 cluster granularity
-    (~128 points per leaf at full scale).
+    (~128 points per leaf at full scale). ``profile`` selects a
+    distribution variant (see PROFILES).
     """
     rng = np.random.default_rng(seed)
+    if profile not in PROFILES:
+        raise ValueError(f"unknown profile {profile!r}; known: {PROFILES}")
+    p = 0.08
+    if profile == "fine":
+        n_leaf = n_leaf or max(16, n // 32)
+        p = 0.05
+    elif profile == "coarse":
+        n_leaf = n_leaf or max(16, n // 512)
+        p = 0.12
     if n_leaf is None:
         n_leaf = max(16, n // 128)
     leaves = make_leaves(rng, n_leaf)
-    return make_points(rng, leaves, n), make_points(rng, leaves, nq)
+    pts = make_points(rng, leaves, n, p)
+    qs = make_points(rng, leaves, nq, p)
+    if profile == "tail":
+        # overwrite a random 20% of points with uniform sketches: mass
+        # with no cluster structure that the graph must route around
+        k = n // 5
+        idx = rng.choice(n, size=k, replace=False)
+        for s in range(0, k, _CHUNK):
+            e = min(s + _CHUNK, k)
+            pts[idx[s:e]] = rng.integers(
+                0, 2**32, size=(e - s, WORDS), dtype=np.uint32
+            )
+    return pts, qs

@@ -60,7 +60,7 @@ def test_query_rep_layout():
 def test_dma_matches_xla_two_key(w, ef):
     """Bit-exact equivalence with the XLA beam path (dedup='beam',
     expand=1): distances, ids, visited counts, and step counts."""
-    cap, words, B = 512, 32, 64
+    cap, words, B = 256, 32, 32
     rng = np.random.default_rng(w * 1000 + ef)
     pts, adj = _random_graph(rng, cap, w, words)
     qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
@@ -91,23 +91,31 @@ def test_dma_matches_xla_two_key(w, ef):
     np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
 
 
-@pytest.mark.parametrize("packed", ["never", "always"])
+def _half(ef, w):
+    p2 = lambda x: 1 << max(0, (x - 1)).bit_length()
+    return max(64, p2(ef), p2(w))
+
+
+@pytest.mark.parametrize("packed", ["never", "always", "span128"])
 @pytest.mark.parametrize("w,ef,mw",
                          [(64, 48, 3), (64, 96, 7), (32, 32, 3), (32, 48, 31),
-                          (32, 64, 31)])  # <- the 2M flagship config at the
-# packed-mode ef boundary (packed pairs engage only for ef <= 64)
+                          (32, 64, 31),  # <- the 2M flagship config at the
+                          # packed-mode ef boundary (pairs engage ef <= 64)
+                          (64, 128, 7), (32, 96, 7)])
 def test_mini_matches_xla_on_prefix(w, ef, mw, packed):
     """The minisketch kernel must equal the XLA beam path run on the
     TRUNCATED sketches (same prefix distances, ids, visited, steps) —
-    in both the unpacked and two-queries-per-row variants."""
+    in the unpacked, two-queries-per-row, and span-128 variants."""
     from hnsw_itu_tpu.ops.pallas_dma_search import (
         materialize_mini, mini_beam_search, mini_subrows,
     )
 
-    if packed == "always" and max(64, ef, w) > 64:
+    if packed == "always" and _half(ef, w) != 64:
         pytest.skip("packed kernel requires beam half == 64")
+    if packed == "span128" and _half(ef, w) != 128:
+        pytest.skip("span128 kernel requires beam half == 128")
 
-    cap, words, B = 512, 32, 64
+    cap, words, B = 256, 32, 32
     rng = np.random.default_rng(w + ef + mw)
     pts, adj = _random_graph(rng, cap, w, words)
     qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
@@ -261,7 +269,7 @@ def test_dma_matches_beyond_packed_key_range():
     # the kernel only requires ids < cap; use a moderate cap with the
     # two-key XLA reference (which itself has no packing here because
     # capacity forces the two-key branch via a fake large capacity).
-    cap, w, words, B, ef = 300, 16, 32, 64, 32
+    cap, w, words, B, ef = 300, 16, 32, 32, 32
     rng = np.random.default_rng(9)
     pts, adj = _random_graph(rng, cap, w, words)
     qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
@@ -288,3 +296,135 @@ def test_dma_matches_beyond_packed_key_range():
     got_i = np.where(got_i >= IINF, np.iinfo(np.int32).max, got_i)
     np.testing.assert_array_equal(got_d, np.asarray(ref.dists))
     np.testing.assert_array_equal(got_i, np.asarray(ref.ids))
+
+
+@pytest.mark.parametrize("packed,ef,E",
+                         [("never", 48, 4), ("always", 48, 8),
+                          ("never", 96, 8), ("span128", 96, 4)])
+def test_mini_multiseed_matches_xla(packed, ef, E):
+    """Multi-seed entry (E distinct seeds per query) must equal the XLA
+    beam path seeded with the same [B, E] entry set — across all three
+    kernel variants."""
+    from hnsw_itu_tpu.ops.pallas_dma_search import (
+        materialize_mini, mini_beam_search,
+    )
+
+    cap, w, words, mw, B = 256, 32, 32, 7, 32
+    rng = np.random.default_rng(ef * 10 + E)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    # E DISTINCT seeds per query
+    seeds = np.stack(
+        [rng.choice(cap, size=E, replace=False) for _ in range(B)]
+    ).astype(np.int32)
+    metric = get_metric("hamming")
+    pts_j, adj_j, qs_j = jnp.asarray(pts), jnp.asarray(adj), jnp.asarray(qs)
+    seeds_j = jnp.asarray(seeds)
+
+    tp = pts_j[:, :mw]
+    tq = qs_j[:, :mw]
+    ref = batched_beam_search(
+        lambda ids: tp[ids], adj_j, tq, seeds_j,
+        ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+        dedup="beam",
+    )
+
+    mini = materialize_mini(pts_j, adj_j, mini_words=mw)
+    d0 = jnp.sum(
+        jax.lax.population_count(tq[:, None, :] ^ tp[seeds_j]), axis=2
+    ).astype(jnp.int32)  # [B, E]
+    outd, outi, vis, stp = mini_beam_search(
+        mini, qs_j, d0, seeds_j,
+        ef=ef, W=w, mini_words=mw, max_steps=256, block_q=B,
+        interpret=True, packed=packed,
+    )
+    got_d = np.asarray(outd)[:, :ef]
+    got_i = np.asarray(outi)[:, :ef]
+    got_d = np.where(got_d >= DINF, np.iinfo(np.int32).max, got_d)
+    got_i = np.where(got_i >= IINF, np.iinfo(np.int32).max, got_i)
+    np.testing.assert_array_equal(got_d, np.asarray(ref.dists))
+    np.testing.assert_array_equal(got_i, np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref.visited))
+    np.testing.assert_array_equal(np.asarray(stp), np.asarray(ref.steps))
+
+
+def _bitrev_np(x, bits):
+    out = np.zeros_like(x)
+    v = x.copy()
+    for _ in range(bits):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    return out
+
+
+def test_bitrev_ids_involution():
+    from hnsw_itu_tpu.ops.pallas_dma_search import bitrev_ids
+
+    rng = np.random.default_rng(3)
+    bits = 19
+    x = rng.integers(0, 1 << bits, size=4096).astype(np.int32)
+    enc = np.asarray(bitrev_ids(jnp.asarray(x), bits))
+    np.testing.assert_array_equal(enc, _bitrev_np(x, bits))
+    dec = np.asarray(bitrev_ids(jnp.asarray(enc), bits))
+    np.testing.assert_array_equal(dec, x)  # involution
+
+
+@pytest.mark.parametrize("packed,ef",
+                         [("never", 48), ("always", 48),
+                          ("never", 96), ("span128", 96)])
+def test_mini_tie_bitrev_isomorphism(packed, ef):
+    """tie_bits correctness via graph isomorphism: searching graph G with
+    tie-decorrelated keys must equal searching the bit-reversal-relabeled
+    graph G' with PLAIN keys (same distances, ids mapped through the
+    relabel, same visited/step counts). G' runs the already-XLA-verified
+    tie_bits=0 path, so this pins the encode/decode sites exactly."""
+    from hnsw_itu_tpu.ops.pallas_dma_search import (
+        materialize_mini, mini_beam_search,
+    )
+
+    cap, w, words, mw, B, E = 256, 32, 32, 7, 32, 4  # cap = 2**8
+    bits = 8
+    rng = np.random.default_rng(ef)
+    pts, adj = _random_graph(rng, cap, w, words)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    seeds = np.stack(
+        [rng.choice(cap, size=E, replace=False) for _ in range(B)]
+    ).astype(np.int32)
+
+    # G': node i relabeled to e(i) = bitrev(i)
+    e = _bitrev_np(np.arange(cap, dtype=np.int32), bits)
+    pts2 = np.zeros_like(pts)
+    pts2[e] = pts
+    adj2 = np.full_like(adj, -1)
+    adj2[e] = np.where(adj >= 0, e[np.clip(adj, 0, cap - 1)], -1)
+
+    mini = materialize_mini(jnp.asarray(pts), jnp.asarray(adj),
+                            mini_words=mw)
+    mini2 = materialize_mini(jnp.asarray(pts2), jnp.asarray(adj2),
+                             mini_words=mw)
+    tq = jnp.asarray(qs[:, :mw])
+    d0 = jnp.sum(
+        jax.lax.population_count(
+            tq[:, None, :] ^ jnp.asarray(pts)[seeds][:, :, :mw]
+        ),
+        axis=2,
+    ).astype(jnp.int32)
+
+    kw = dict(ef=ef, W=w, mini_words=mw, max_steps=256, block_q=B,
+              interpret=True, packed=packed)
+    da, ia, va, sa = mini_beam_search(
+        mini, jnp.asarray(qs), d0, jnp.asarray(seeds),
+        tie_bits=bits, **kw,
+    )
+    db, ib, vb, sb = mini_beam_search(
+        mini2, jnp.asarray(qs), d0, jnp.asarray(e[seeds]),
+        tie_bits=0, **kw,
+    )
+    ia, ib = np.asarray(ia), np.asarray(ib)
+    # map G' ids back through the relabel (e is an involution)
+    ib_orig = np.where(ib < IINF, _bitrev_np(np.clip(ib, 0, cap - 1), bits),
+                       ib)
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+    np.testing.assert_array_equal(ia, ib_orig)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))

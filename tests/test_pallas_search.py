@@ -73,13 +73,15 @@ def test_query_tiles_layout():
 
 @pytest.mark.parametrize("packed", ["never", "always"])
 @pytest.mark.parametrize("w,ef", [(16, 24), (32, 64), (64, 48), (32, 32),
-                                  (32, 16)])
+                                  (32, 16),
+                                  (64, 96), (32, 128)])  # span-128 1q/row
 def test_fused_matches_xla_packed(w, ef, packed):
     """Bit-exact equivalence with _beam_search_packed (dedup='beam',
     expand=1): distances, ids, visited counts, and step counts — for the
-    single-query kernel and both packed spans (w/ef <= 32 -> span 32 =
-    four queries per row; else span 64 = two)."""
-    cap, words, B = 512, 32, 64
+    single-query kernel and all packed spans (w/ef <= 32 -> span 32 =
+    four queries per row; <= 64 -> span 64 = two; <= 128 -> span 128 =
+    one query per full row, the 64 < ef <= 128 fast path)."""
+    cap, words, B = 256, 32, 32
     rng = np.random.default_rng(w * 1000 + ef)
     pts, adj = _random_graph(rng, cap, w, words)
     qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)

@@ -258,3 +258,37 @@ def test_opts_reorder_build_path(kind):
     a = idx.knns(qs, 5, 32)
     r = ridx.knns(qs, 5, 32)
     np.testing.assert_array_equal(np.asarray(a.dists), np.asarray(r.dists))
+
+
+def test_builder_sealed_after_reorder_build():
+    """A reorder build seals the builder: extend/build afterwards would
+    compose relabels and corrupt the id_map (ADVICE r4 medium)."""
+    import pytest
+
+    from hnsw_itu_tpu.models import IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.models.nsw import NSWBuilder
+
+    rng = np.random.default_rng(7)
+    pts = rng.integers(0, 2**32, size=(120, 32), dtype=np.uint32)
+    for cls in (NSWBuilder, HNSWBuilder):
+        opts = IndexOptions(size=256, max_connections=8, connections=4,
+                            ef_construction=16, host_warmup=0, reorder=True)
+        b = cls(opts, metric="hamming")
+        b.extend_batched(pts)
+        idx = b.build()
+        assert idx.id_map is not None
+        with pytest.raises(RuntimeError, match="sealed"):
+            b.build()
+        with pytest.raises(RuntimeError, match="sealed"):
+            b.extend_batched(pts[:4])
+        with pytest.raises(RuntimeError, match="sealed"):
+            b.extend(pts[:1])
+    # non-reorder builders stay extendable (the historical contract)
+    opts = IndexOptions(size=256, max_connections=8, connections=4,
+                        ef_construction=16, host_warmup=0)
+    b = NSWBuilder(opts, metric="hamming")
+    b.extend_batched(pts)
+    b.build()
+    b.extend_batched(pts[:4])
+    b.build()

@@ -152,3 +152,35 @@ def test_batched_matches_single():
         np.testing.assert_array_equal(
             np.asarray(batched.ids[b]), np.asarray(single.ids)
         )
+
+
+def test_sampled_entry_topk():
+    """Multi-seed entry: top-B of the strided MXU sample — distinct ids,
+    ascending distances, column 0 equal to the single-seed argmin."""
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.ops.entry import sampled_entry, sampled_entry_topk
+    from hnsw_itu_tpu.ops.metrics import get_metric
+
+    rng = np.random.default_rng(21)
+    n, B, S, E = 400, 16, 64, 8
+    pts = jnp.asarray(
+        rng.integers(0, 2**32, size=(n, 32), dtype=np.uint32))
+    qs = jnp.asarray(
+        rng.integers(0, 2**32, size=(B, 32), dtype=np.uint32))
+    m = get_metric("hamming")
+    ids, d = sampled_entry_topk(pts, qs, jnp.int32(n), sample_size=S,
+                                beams=E, metric=m)
+    ids, d = np.asarray(ids), np.asarray(d)
+    assert ids.shape == (B, E) and d.shape == (B, E)
+    one = np.asarray(sampled_entry(pts, qs, jnp.int32(n), sample_size=S,
+                                   metric=m))
+    np.testing.assert_array_equal(ids[:, 0], one)
+    for b in range(B):
+        assert len(set(ids[b])) == E  # distinct
+        assert (np.diff(d[b]) >= 0).all()  # ascending
+    # distances are the true exact distances to the seed points
+    gather = np.asarray(pts)[ids.reshape(-1)].reshape(B, E, 32)
+    xor = gather ^ np.asarray(qs)[:, None, :]
+    want = np.unpackbits(xor.view(np.uint8), axis=-1).sum(axis=-1)
+    np.testing.assert_array_equal(d, want)

@@ -4,7 +4,7 @@ import jax
 import numpy as np
 import pytest
 
-from hnsw_itu_tpu.models import Bruteforce, IndexOptions
+from hnsw_itu_tpu.models import Bruteforce, IndexOptions, _build
 from hnsw_itu_tpu.models.nsw import NSWBuilder
 from hnsw_itu_tpu.parallel import ShardedNSW, knns_query_sharded, make_mesh
 
@@ -78,7 +78,8 @@ def test_sharded_build_step_semantics(mesh):
     valid = np.ones((S, c), bool)
     valid[-1, -2:] = False  # ragged last shard
 
-    spill_s = shard_leading(mesh, jnp.full((S, cap + 1, 8), -1, jnp.int32))
+    spill_s = shard_leading(
+        mesh, jnp.full((S, cap + 1, _build.SPILL_WIDTH), -1, jnp.int32))
     points_s, adj_s, deg_s, spill_s, n_s, drops_s = sharded_build_step(
         points_s, adj_s, deg_s, spill_s, ep_s, n_s,
         shard_leading(mesh, jnp.asarray(pts0[:, 1 : 1 + c])),

@@ -60,3 +60,30 @@ def test_queries_share_clusters_with_points():
         _hamming(np.broadcast_to(q, pts.shape), pts).min() for q in qs
     ])
     assert best.mean() < 250, best.mean()
+
+
+def test_distribution_profiles():
+    """Robustness-sweep profiles (VERDICT r4 item 4): every profile keeps
+    queries answerable (nearest point well below the 512-bit background),
+    and the knobs move the right statistics."""
+    from hnsw_itu_tpu.utils.synth import PROFILES
+
+    stats = {}
+    for prof in PROFILES:
+        pts, qs = make_dataset(0, 4000, 16, profile=prof)
+        best = np.array([
+            _hamming(np.broadcast_to(q, pts.shape), pts).min() for q in qs
+        ])
+        assert best.mean() < 300, (prof, best.mean())
+        stats[prof] = (pts, best)
+    # 'tail' shares its cluster structure with 'default' but 20% of its
+    # points are uniform distractors: distance from a default point to the
+    # tail's overwritten rows sits at the ~512-bit background
+    d_pts = stats["default"][0]
+    t_pts = stats["tail"][0]
+    changed = (d_pts != t_pts).any(axis=1)
+    assert 0.15 < changed.mean() < 0.25, changed.mean()
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_dataset(0, 100, 4, profile="nope")
