@@ -60,5 +60,18 @@ def sampled_entry_topk(points, qs, n, *, sample_size: int, beams: int,
     ids = strided_sample_ids(n, sample_size)
     sample = points[ids]
     d = metric.pairwise_mxu(qs, sample)  # [B, S]
-    negd, pos = jax.lax.top_k(-d, beams)
-    return ids[pos], -negd
+    # top-B by ITERATIVE argmin, not lax.top_k: top_k over a
+    # [10k, 65536] row lowers to a full sort whose workspace OOMs HBM
+    # and whose program kills the backend compile helper (measured,
+    # round 5). B passes of argmin+mask are a tiny program and touch no
+    # memory beyond the distance matrix itself; argmin breaks ties at
+    # the lowest sample position, so column 0 equals sampled_entry.
+    S = sample_size
+    pos_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    out_i, out_d = [], []
+    for _ in range(beams):
+        p0 = jnp.argmin(d, axis=1)  # [B]
+        out_i.append(ids[p0])
+        out_d.append(jnp.take_along_axis(d, p0[:, None], 1)[:, 0])
+        d = jnp.where(pos_iota == p0[:, None], metric.inf, d)
+    return jnp.stack(out_i, axis=1), jnp.stack(out_d, axis=1)
