@@ -39,7 +39,7 @@ def main():
 
     from hnsw_itu_tpu.models import IndexOptions
     from hnsw_itu_tpu.models.hnsw import HNSWBuilder
-    from hnsw_itu_tpu.utils import recall_at_k
+    from hnsw_itu_tpu.utils import recall_at_k, recall_tie_tolerant
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     NQ, K = 10_000, 10
@@ -227,7 +227,7 @@ def main():
 
     NGT = 2048
     t0 = time.perf_counter()
-    _, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
+    gt_dists, gt_ids = native.host_bruteforce(pts, "hamming", qs[:NGT], K)
     print(f"# ground truth ({NGT} queries, host): "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
@@ -274,12 +274,15 @@ def main():
             np.asarray(res.ids[:1])
             exact_s = time.perf_counter() - t0
             r = float(recall_at_k(np.asarray(res.ids), gt_ids, K))
+            r_tt = float(recall_tie_tolerant(
+                np.asarray(res.dists), gt_dists, K))
             if es_a == 1024:
                 exact_rec = r
             else:
                 exact_rec_es64k = r
             print(f"# exact-path attribution ef=64 es={es_a}: recall "
-                  f"{r:.4f}, {NGT/exact_s:.0f} QPS (incl compile)",
+                  f"{r:.4f} (tie-tolerant {r_tt:.4f}), "
+                  f"{NGT/exact_s:.0f} QPS (incl compile)",
                   file=sys.stderr, flush=True)
 
     index.enable_inline()  # mini table (or fused when it fits)
@@ -318,13 +321,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         qps = NQ / best
         recall = float(recall_at_k(np.asarray(res.ids)[:NGT], gt_ids, K))
+        # tie-tolerant recall (utils/evalrecall.py): true-distance hits
+        # against the oracle's k-th distance — immune to the tie-break
+        # mismatch artifact that penalizes reordered indexes
+        recall_tt = float(recall_tie_tolerant(
+            np.asarray(res.dists)[:NGT], gt_dists, K))
         print(f"# ef={ef} hop={hop} es={es} cap={cap} beams={beams}: "
               f"{best:.3f}s for {NQ} queries, {qps:.0f} QPS, "
-              f"recall {recall:.4f}", file=sys.stderr, flush=True)
+              f"recall {recall:.4f} (tie-tolerant {recall_tt:.4f})",
+              file=sys.stderr, flush=True)
         sweeps.append({"ef": ef, "hop": hop, "entry_sample": es,
                        "max_steps": cap, "entry_beams": beams,
                        "qps": round(qps, 1),
-                       "recall_at_10": round(recall, 4)})
+                       "recall_at_10": round(recall, 4),
+                       "recall_tie_tolerant": round(recall_tt, 4)})
         rec = {
             "metric": f"HNSW 10M-scale (k={K}, ef={ef}, n={N}, synthetic "
                       "1024-bit sketches)",

@@ -15,6 +15,25 @@ from hnsw_itu_tpu.utils.tunnel import relay_alive
 import sys; sys.exit(0 if relay_alive() else 1)"
 }
 
+# part A was killed mid-stage-5 (its default-profile 1M run keeps
+# running); wait for it, then run the remaining profiles first
+if [ -n "${WAIT_PID:-}" ]; then
+  echo "# waiting for running stage-5 python (pid $WAIT_PID)"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+
+probe || { echo "relay dead before stage 5-rest"; exit 2; }
+
+echo "# stage 5 (rest): fine/coarse/tail 1M ($(date -u))"
+for prof in fine coarse tail; do
+  BENCH_PROFILE=$prof BENCH_CKPT=0 BENCH_EXACT_ATTRIB=0 \
+  BENCH_OUT=results_1m_$prof.json \
+  BENCH_PLAN="32:0:65536;48:0:65536;64:0:65536;96:0:65536" \
+  timeout 3600 python benches/run_10m.py 1000000 > /tmp/q_r5_s5_$prof.log 2>&1
+  echo "# stage 5 [$prof] rc=$?"
+  probe || { echo "relay dead during stage 5"; exit 2; }
+done
+
 probe || { echo "relay dead before stage 2b"; exit 2; }
 
 echo "# stage 2b: multi-seed (argmin top-B) + span128 sweep ($(date -u))"
@@ -23,18 +42,6 @@ BENCH_OUT=results_10m_beams.json \
 BENCH_PLAN="64:10:65536::4;64:10:65536::8;64:10:65536::16;64:8:65536::8;64:4:65536::8;64:0:65536::8;96:8:65536:256:1;96:0:65536:256:8;64:10:65536::1" \
 timeout 7200 python benches/run_10m.py $N > /tmp/q_r5_s2b.log 2>&1
 echo "# stage 2b rc=$?"
-
-probe || { echo "relay dead before stage 5"; exit 2; }
-
-echo "# stage 5: distribution-robustness 1M sweep ($(date -u))"
-for prof in default fine coarse tail; do
-  BENCH_PROFILE=$prof BENCH_CKPT=0 BENCH_EXACT_ATTRIB=0 \
-  BENCH_OUT=results_1m_$prof.json \
-  BENCH_PLAN="32:0:65536;48:0:65536;64:0:65536;96:0:65536" \
-  timeout 3600 python benches/run_10m.py 1000000 > /tmp/q_r5_s5_$prof.log 2>&1
-  echo "# stage 5 [$prof] rc=$?"
-  probe || { echo "relay dead during stage 5"; exit 2; }
-done
 
 echo "# stage 4: W=64 A/B build ($(date -u))"
 HNSW_TPU_SCAN_GROUP=1 BENCH_W=64 BENCH_CKPT_TAG=w64 BENCH_KEEP_CKPT=0 \

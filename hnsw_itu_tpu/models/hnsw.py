@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -200,7 +201,7 @@ def _hnsw_query_step_mini(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
-                     "n_levels", "dedup", "entry_sample"),
+                     "n_levels", "dedup", "entry_sample", "tie_bits"),
 )
 def _hnsw_query_step(
     points,
@@ -220,9 +221,12 @@ def _hnsw_query_step(
     n_levels,
     dedup="bitmask",
     entry_sample=0,
+    tie_bits=0,
 ):
     """Full HNSW search for one query batch: greedy descent (or MXU sampled
-    entry) + base beam."""
+    entry) + base beam. ``tie_bits`` decorrelates base-beam tie order on
+    reordered tables (levels keep local numbering, so only the base needs
+    it)."""
     metric = get_metric(metric_name)
     eps = _descent_eps(
         points, levels, qs, ep, n,
@@ -244,6 +248,7 @@ def _hnsw_query_step(
         get_nbr_pts=(
             None if base_adj_pts is None else (lambda ids: base_adj_pts[ids])
         ),
+        tie_bits=tie_bits,
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -452,6 +457,7 @@ class HNSW:
                     n_levels=len(levels),
                     dedup=self.query_dedup,
                     entry_sample=self.query_entry_sample,
+                    tie_bits=self._tie_bits(),
                 )
             # stay on device: fetching results through a remote host
             # tunnel costs ~1ms/100KB on top of a ~25ms RTT
@@ -485,13 +491,16 @@ class HNSW:
                 "embed node ids and are materialized from the reordered "
                 "arrays"
             )
-        from ..ops.reorder import bfs_order, full_permutation, permute_base
+        from ..ops.reorder import (bfs_order, full_permutation, permute_base,
+                                   window_shuffle)
 
         cap = self.base.capacity
         adj_np = np.asarray(self.base.adj[: self.n])
-        perm, inv = full_permutation(
-            bfs_order(adj_np, self.n, self.base_ep()), cap
-        )
+        order = bfs_order(adj_np, self.n, self.base_ep())
+        order = window_shuffle(
+            order, int(os.environ.get("HNSW_TPU_REORDER_SHUFFLE", 0))
+        )  # see NSW.reorder
+        perm, inv = full_permutation(order, cap)
         permj, invj = jnp.asarray(perm), jnp.asarray(inv)
         # (level_adj_pts is level-local and untouched by a base relabel)
         self.points, adj, deg, self.adj_pts = permute_base(

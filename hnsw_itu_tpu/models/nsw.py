@@ -94,10 +94,10 @@ def _fused_batch(b: int, max_block: int | None = None) -> tuple[int, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "dedup",
-                     "entry_sample"),
+                     "entry_sample", "tie_bits"),
 )
 def _query_step(points, adj, qs, ep, n=None, *, k, ef, metric_name, expand,
-                max_steps, dedup="bitmask", entry_sample=0):
+                max_steps, dedup="bitmask", entry_sample=0, tie_bits=0):
     metric = get_metric(metric_name)
     cap = adj.shape[0]
     if entry_sample > 0 and n is not None:
@@ -116,6 +116,7 @@ def _query_step(points, adj, qs, ep, n=None, *, k, ef, metric_name, expand,
         expand=expand,
         max_steps=max_steps,
         dedup=dedup,
+        tie_bits=tie_bits,
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -123,10 +124,11 @@ def _query_step(points, adj, qs, ep, n=None, *, k, ef, metric_name, expand,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
-                     "entry_sample"),
+                     "entry_sample", "tie_bits"),
 )
 def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
-                       metric_name, expand, max_steps, entry_sample=0):
+                       metric_name, expand, max_steps, entry_sample=0,
+                       tie_bits=0):
     """Inline-neighbor query: each expansion reads one contiguous
     [W, words] row from adj_pts instead of W random point gathers."""
     metric = get_metric(metric_name)
@@ -148,6 +150,7 @@ def _query_step_inline(points, adj, adj_pts, qs, ep, n=None, *, k, ef,
         max_steps=max_steps,
         dedup="beam",
         get_nbr_pts=lambda ids: adj_pts[ids],
+        tie_bits=tie_bits,
     )
     return res.dists[:, :k], res.ids[:, :k], res.visited, res.steps
 
@@ -490,12 +493,16 @@ class NSW:
                 "embed node ids and are materialized from the reordered "
                 "arrays"
             )
-        from ..ops.reorder import bfs_order, full_permutation
+        from ..ops.reorder import bfs_order, full_permutation, window_shuffle
 
         adj_np = np.asarray(self.graph.adj[: self.n])
-        perm, inv = full_permutation(
-            bfs_order(adj_np, self.n, self.ep), self.graph.capacity
-        )
+        order = bfs_order(adj_np, self.n, self.ep)
+        # ops escape hatch: shuffle ranks within windows to break the
+        # rank<->geometry tie bias while keeping locality (see
+        # ops/reorder.window_shuffle); 0 disables
+        win = int(os.environ.get("HNSW_TPU_REORDER_SHUFFLE", 0))
+        order = window_shuffle(order, win)
+        perm, inv = full_permutation(order, self.graph.capacity)
         self._apply_perm(jnp.asarray(perm), jnp.asarray(inv))
 
     def _apply_perm(self, permj, invj) -> None:
@@ -655,6 +662,7 @@ class NSW:
                     expand=self.query_expand,
                     max_steps=self._steps_cap(ef),
                     entry_sample=self.query_entry_sample,
+                    tie_bits=self._tie_bits(),
                 )
             else:
                 d, i, vis, st = _query_step(
@@ -670,6 +678,7 @@ class NSW:
                     max_steps=self._steps_cap(ef),
                     dedup=self.query_dedup,
                     entry_sample=self.query_entry_sample,
+                    tie_bits=self._tie_bits(),
                 )
             # stay on device: fetching results through a remote host
             # tunnel costs ~1ms/100KB on top of a ~25ms RTT

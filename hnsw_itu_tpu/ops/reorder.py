@@ -37,7 +37,31 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["bfs_order", "full_permutation", "permute_base"]
+__all__ = ["bfs_order", "full_permutation", "permute_base",
+           "window_shuffle"]
+
+
+def window_shuffle(order: np.ndarray, window: int, seed: int = 0):
+    """Shuffle ranks within consecutive ``window``-sized blocks, in place.
+
+    Decorrelates rank from geometry at the SOURCE: after a BFS relabel,
+    within-cluster rank equals BFS discovery order, and every (d, id) tie
+    anywhere in the stack (kernels, XLA beams, rerank top-k) prefers low
+    rank — a systematic eviction bias against late-discovered true
+    neighbors (measured -20 recall points at 10M/es=65536 on the exact
+    path). A window shuffle keeps the HBM locality the reorder buys
+    (neighbor rows stay within ~window*row_bytes of each other) while
+    making within-window tie order random. Complements the bitrev tie
+    keys: the shuffle fixes every tie site at once; the keys fix the
+    kernels exactly.
+    """
+    if window <= 1:
+        return order
+    rng = np.random.default_rng(seed)
+    n = order.shape[0]
+    for s in range(0, n, window):
+        rng.shuffle(order[s : s + window])
+    return order
 
 
 def bfs_order(adj: np.ndarray, n: int, start: int) -> np.ndarray:

@@ -50,6 +50,18 @@ class SearchResult(NamedTuple):
     steps: jax.Array
 
 
+def _tie_enc(ids, tie_bits: int, valid):
+    """Encode ids into the tie-decorrelated ordering space (bit reversal,
+    ops/pallas_dma_search.bitrev_ids). Applied only where ``valid``;
+    sentinel/invalid lanes pass through. The encode is an involution, so
+    the same function decodes."""
+    if not tie_bits:
+        return ids
+    from .pallas_dma_search import bitrev_ids
+
+    return jnp.where(valid, bitrev_ids(ids, tie_bits), ids)
+
+
 def beam_search(
     get_points: Callable[[jax.Array], jax.Array],
     adj: jax.Array,
@@ -63,6 +75,7 @@ def beam_search(
     max_steps: int = 2048,
     dedup: str = "bitmask",
     get_nbr_pts: Callable[[jax.Array], jax.Array] | None = None,
+    tie_bits: int = 0,
 ) -> SearchResult:
     """Search one query on one graph layer.
 
@@ -86,11 +99,19 @@ def beam_search(
         expansion into one sequential multi-KB row read — the HBM-friendly
         layout. Requires dedup="beam" (candidate order must stay aligned
         with the inline rows).
+      tie_bits: > 0 orders equal-distance ties by BIT-REVERSED id
+        (ops/pallas_dma_search.bitrev_ids) instead of raw id. Required for
+        recall on BFS-reordered tables, where low id == entry-proximal and
+        plain id ties systematically evict true neighbors (measured -20
+        recall points at 10M/es=65536 on the exact path, round 5).
+        Returned ids are real either way.
 
     Returns SearchResult with arrays of length ef.
     """
     if get_nbr_pts is not None and dedup != "beam":
         raise ValueError("inline neighbor points require dedup='beam'")
+    if tie_bits and capacity > (1 << tie_bits):
+        raise ValueError(f"capacity={capacity} > 2**tie_bits")
     if dedup == "beam":
         max_d = metric.max_distance(q)
         if max_d is not None:
@@ -100,6 +121,7 @@ def beam_search(
                     get_points, adj, q, ep, ef=ef, metric=metric,
                     capacity=capacity, expand=expand, max_steps=max_steps,
                     get_nbr_pts=get_nbr_pts, max_d=max_d, id_bits=id_bits,
+                    tie_bits=tie_bits,
                 )
     inf = metric.inf
     W = adj.shape[1]
@@ -108,17 +130,20 @@ def beam_search(
 
     # ep: scalar, or [E0] of DISTINCT per-query entry seeds (multi-seed
     # entry, ops/entry.py sampled_entry_topk); E0 <= ef
-    eps = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
-    E0 = eps.shape[0]
-    d_eps = metric.one_to_many(q, get_points(eps))
-    d_eps, eps = jax.lax.sort((d_eps, eps), num_keys=2)
+    eps_raw = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
+    E0 = eps_raw.shape[0]
+    d_eps = metric.one_to_many(q, get_points(eps_raw))
+    # the beam carries ORDERING ids (tie-encoded when tie_bits > 0);
+    # ids are decoded at every adjacency/point gather and at the end
+    eps_o = _tie_enc(eps_raw, tie_bits, jnp.ones((E0,), bool))
+    d_eps, eps_o = jax.lax.sort((d_eps, eps_o), num_keys=2)
 
     beam_d = jnp.full((ef,), inf, metric.dist_dtype).at[0:E0].set(d_eps)
-    beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0:E0].set(eps)
+    beam_i = jnp.full((ef,), ID_INF, jnp.int32).at[0:E0].set(eps_o)
     beam_x = jnp.zeros((ef,), bool)
     if dedup == "bitmask":
         visited = bitset.insert(
-            bitset.make(capacity), eps, jnp.ones((E0,), bool)
+            bitset.make(capacity), eps_raw, jnp.ones((E0,), bool)
         )
     else:
         visited = jnp.zeros((0,), jnp.uint32)  # unused carry placeholder
@@ -145,9 +170,10 @@ def beam_search(
         sel_pos_c = jnp.clip(sel_pos, 0, ef - 1)
         bx = bx.at[sel_pos].set(True, mode="drop")
         sel_ids = jnp.where(sel_ok, bi[sel_pos_c], ID_INF)
+        sel_raw = _tie_enc(sel_ids, tie_bits, sel_ids != ID_INF)
 
         # -- gather neighbor lists  [E, W] -> [C]
-        nbr = adj[jnp.clip(sel_ids, 0, capacity - 1)]
+        nbr = adj[jnp.clip(sel_raw, 0, capacity - 1)]
         nbr = jnp.where((nbr >= 0) & sel_ok[:, None], nbr, ID_INF)
         nid = nbr.reshape(C)
 
@@ -165,7 +191,7 @@ def beam_search(
             pts = get_points(jnp.clip(nid, 0, capacity - 1))
             cd = metric.one_to_many(q, pts)
             cd = jnp.where(fresh, cd, inf)
-            ci = jnp.where(fresh, nid, ID_INF)
+            ci = _tie_enc(jnp.where(fresh, nid, ID_INF), tie_bits, fresh)
 
             # -- merge into beam: two-key sort by (d, id), truncate to ef.
             #    This applies the reference's insert rule exactly: a
@@ -184,13 +210,14 @@ def beam_search(
             #    vmapped [B,C,C] compare materializes too much).
             if get_nbr_pts is not None:
                 # inline rows arrive FLAT [E, W*words]; unflatten to points
-                pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
+                pts = get_nbr_pts(jnp.clip(sel_raw, 0, capacity - 1))
                 pts = pts.reshape(C, *q.shape)
             else:
                 pts = get_points(jnp.clip(nid, 0, capacity - 1))
             cd = metric.one_to_many(q, pts)
             cd = jnp.where(nid < capacity, cd, inf)
-            ci = jnp.where(nid < capacity, nid, ID_INF)
+            ci = _tie_enc(jnp.where(nid < capacity, nid, ID_INF), tie_bits,
+                          nid < capacity)
 
             md = jnp.concatenate([bd, cd])
             mi = jnp.concatenate([bi, ci])
@@ -206,8 +233,10 @@ def beam_search(
             dup = jnp.concatenate(
                 [jnp.zeros((1,), bool), mi[1:] == mi[:-1]]
             )
+            # validity by sentinel, not `< capacity`: tie-encoded ids can
+            # exceed capacity (bitrev maps into [0, 2**tie_bits))
             nvis = nvis + jnp.sum(
-                ((~dup) & is_cand & (mi < capacity)).astype(jnp.int32)
+                ((~dup) & is_cand & (mi != ID_INF)).astype(jnp.int32)
             )
             md = jnp.where(dup, inf, md)
             mi = jnp.where(dup, ID_INF, mi)
@@ -219,6 +248,7 @@ def beam_search(
         cond, body,
         (beam_d, beam_i, beam_x, visited, jnp.int32(E0), jnp.int32(0)),
     )
+    beam_i = _tie_enc(beam_i, tie_bits, beam_i != ID_INF)  # decode
     return SearchResult(beam_d, beam_i, n_visited, steps)
 
 
@@ -236,13 +266,16 @@ def _beam_search_packed(
     get_nbr_pts,
     max_d,
     id_bits,
+    tie_bits=0,
 ) -> SearchResult:
     """Beam search with (distance, id) packed into ONE int32 sort key —
     ``key = (d << id_bits) | id``. The packed order equals the reference's
     (distance, key) order (mod.rs:90-96), the beam carry shrinks to
     (key, expanded), and every bitonic sort moves half the operands.
     Applicable when the metric has a static distance bound (Hamming:
-    words*32) and dist_bits + id_bits <= 31.
+    words*32) and dist_bits + id_bits <= 31. ``tie_bits`` > 0 packs the
+    BIT-REVERSED id into the key (see beam_search); tie_bits <= id_bits
+    always holds since both derive from the same capacity.
     """
     E = expand
     W = adj.shape[1]
@@ -251,11 +284,12 @@ def _beam_search_packed(
     MASK = jnp.int32((1 << id_bits) - 1)
     KEY_INF = jnp.int32((max_d + 1) << id_bits)
 
-    eps = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
-    E0 = eps.shape[0]
-    d_eps = metric.one_to_many(q, get_points(eps)).astype(jnp.int32)
+    eps_raw = jnp.atleast_1d(jnp.asarray(ep, jnp.int32))
+    E0 = eps_raw.shape[0]
+    d_eps = metric.one_to_many(q, get_points(eps_raw)).astype(jnp.int32)
+    eps_o = _tie_enc(eps_raw, tie_bits, jnp.ones((E0,), bool))
     bk0 = jnp.full((ef,), KEY_INF, jnp.int32).at[0:E0].set(
-        jax.lax.sort((d_eps << id_bits) | eps)
+        jax.lax.sort((d_eps << id_bits) | eps_o)
     )
     bx0 = jnp.zeros((ef,), bool)
 
@@ -279,19 +313,21 @@ def _beam_search_packed(
         sel_ids = jnp.where(
             sel_ok & (sel_keys < KEY_INF), sel_keys & MASK, ID_INF
         )
+        sel_raw = _tie_enc(sel_ids, tie_bits, sel_ids != ID_INF)
 
-        nbr = adj[jnp.clip(sel_ids, 0, capacity - 1)]
+        nbr = adj[jnp.clip(sel_raw, 0, capacity - 1)]
         nbr = jnp.where((nbr >= 0) & (sel_ids != ID_INF)[:, None], nbr, -1)
         nid = nbr.reshape(C)
 
         if get_nbr_pts is not None:
             # inline rows arrive FLAT [E, W*words]; unflatten to points
-            pts = get_nbr_pts(jnp.clip(sel_ids, 0, capacity - 1))
+            pts = get_nbr_pts(jnp.clip(sel_raw, 0, capacity - 1))
             pts = pts.reshape(C, *q.shape)
         else:
             pts = get_points(jnp.clip(nid, 0, capacity - 1))
         cd = metric.one_to_many(q, pts).astype(jnp.int32)
-        ck = jnp.where(nid >= 0, (cd << id_bits) | nid, KEY_INF)
+        nid_o = _tie_enc(nid, tie_bits, nid >= 0)
+        ck = jnp.where(nid >= 0, (cd << id_bits) | nid_o, KEY_INF)
 
         mk = jnp.concatenate([bk, ck])
         mx = jnp.concatenate([bx, jnp.zeros((C,), bool)])
@@ -319,6 +355,7 @@ def _beam_search_packed(
     valid = bk < KEY_INF
     dists = jnp.where(valid, bk >> id_bits, metric.inf)
     ids = jnp.where(valid, bk & MASK, ID_INF)
+    ids = _tie_enc(ids, tie_bits, valid)  # decode
     return SearchResult(dists, ids, n_visited, steps)
 
 
@@ -352,6 +389,7 @@ def batched_beam_search(
     max_steps: int = 2048,
     dedup: str = "bitmask",
     get_nbr_pts=None,
+    tie_bits: int = 0,
 ) -> SearchResult:
     """vmap of beam_search over a query batch (and per-query entry points)."""
     fn = partial(
@@ -365,5 +403,6 @@ def batched_beam_search(
         max_steps=max_steps,
         dedup=dedup,
         get_nbr_pts=get_nbr_pts,
+        tie_bits=tie_bits,
     )
     return jax.vmap(fn)(queries, eps)

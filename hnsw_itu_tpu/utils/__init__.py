@@ -1,6 +1,7 @@
 from . import logging
 from .dataset import BUFFER_SIZE, BufferedDataset
-from .evalrecall import recall_at_k, recall_files
+from .evalrecall import (recall_at_k, recall_files,
+                         recall_tie_tolerant)
 from .instrument import SearchStats
 from .serialize import ResultAttrs, load_index, save_index
 
@@ -9,6 +10,7 @@ __all__ = [
     "BUFFER_SIZE",
     "BufferedDataset",
     "recall_at_k",
+    "recall_tie_tolerant",
     "recall_files",
     "SearchStats",
     "ResultAttrs",

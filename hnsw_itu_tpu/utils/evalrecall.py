@@ -54,3 +54,37 @@ def recall_files(result_path, truth_path, k: int | None = None) -> float:
     if k is None:
         k = r.shape[1]
     return recall_at_k(r, t[:, : r.shape[1]], k)
+
+
+def recall_tie_tolerant(result_dists, truth_dists, k: int | None = None
+                        ) -> float:
+    """Distance-threshold recall: a returned neighbor counts as a hit iff
+    its TRUE distance <= the oracle's k-th distance.
+
+    Id-set recall (``recall_at_k``) undercounts whenever the k boundary
+    falls inside an equal-distance tie set and the index's tie-break rule
+    differs from the oracle's: the returned neighbors are exactly as near,
+    but they are different MEMBERS of the tie set. On integer Hamming over
+    clustered data tie sets are large, and any index whose internal id
+    order differs from dataset order (e.g. after a BFS locality reorder)
+    pays the artifact — measured at 20k: id-recall 0.988 / 0.975 / 0.949
+    for plain / reordered / tie-decorrelated while THIS metric reads
+    0.993 for all three (round 5). Both metrics are reported; id-recall
+    remains the reference-comparable number (the SISAP eval counts id
+    intersections, and the reference's own tie-break matches its GT's).
+
+    Args:
+      result_dists: [nq, >=k] TRUE distances of the returned neighbors
+        (the search paths return exact distances after rerank).
+      truth_dists: [nq, >=k] oracle distances, ascending.
+    """
+    result_dists = np.asarray(result_dists)
+    truth_dists = np.asarray(truth_dists)
+    if k is None:
+        k = result_dists.shape[1]
+    nq = result_dists.shape[0]
+    if nq == 0:
+        return 0.0
+    thresh = truth_dists[:, k - 1 : k].astype(np.int64)
+    hits = (result_dists[:, :k].astype(np.int64) <= thresh).sum()
+    return int(hits) / (nq * k)

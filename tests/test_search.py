@@ -3,6 +3,7 @@ reference-style completeness checks (hnsw.rs:330-331)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnsw_itu_tpu.ops import HAMMING, L2INT, batched_beam_search, beam_search
 
@@ -184,3 +185,60 @@ def test_sampled_entry_topk():
     xor = gather ^ np.asarray(qs)[:, None, :]
     want = np.unpackbits(xor.view(np.uint8), axis=-1).sum(axis=-1)
     np.testing.assert_array_equal(d, want)
+
+
+@pytest.mark.parametrize("dedup", ["bitmask", "beam"])
+def test_beam_search_tie_bitrev_isomorphism(dedup):
+    """XLA-path tie decorrelation correctness via graph isomorphism:
+    searching G with tie_bits=b equals searching the bitrev-relabeled G'
+    with plain keys (ids mapped through the relabel, same dists/visited/
+    steps). dedup='beam' exercises the packed-key branch (hamming bound
+    fits), 'bitmask' the generic two-key branch."""
+    import jax.numpy as jnp
+
+    from hnsw_itu_tpu.ops.metrics import get_metric
+    from hnsw_itu_tpu.ops.search import ID_INF, batched_beam_search
+
+    cap, w, words, B, ef, E, bits = 256, 16, 32, 16, 24, 4, 8
+    rng = np.random.default_rng(dedup == "beam")
+    pts = rng.integers(0, 2**32, size=(cap, words), dtype=np.uint32)
+    adj = np.full((cap, w), -1, np.int32)
+    for i in range(cap):
+        deg = rng.integers(w // 2, w + 1)
+        adj[i, :deg] = rng.choice(cap, size=deg, replace=False)
+    qs = rng.integers(0, 2**32, size=(B, words), dtype=np.uint32)
+    seeds = np.stack(
+        [rng.choice(cap, size=E, replace=False) for _ in range(B)]
+    ).astype(np.int32)
+
+    def bitrev_np(x):
+        out = np.zeros_like(x)
+        v = x.copy()
+        for _ in range(bits):
+            out = (out << 1) | (v & 1)
+            v >>= 1
+        return out
+
+    e = bitrev_np(np.arange(cap, dtype=np.int32))
+    pts2 = np.zeros_like(pts)
+    pts2[e] = pts
+    adj2 = np.full_like(adj, -1)
+    adj2[e] = np.where(adj >= 0, e[np.clip(adj, 0, cap - 1)], -1)
+
+    metric = get_metric("hamming")
+    pj, aj = jnp.asarray(pts), jnp.asarray(adj)
+    p2j, a2j = jnp.asarray(pts2), jnp.asarray(adj2)
+    qj = jnp.asarray(qs)
+    kw = dict(ef=ef, metric=metric, capacity=cap, expand=1, max_steps=256,
+              dedup=dedup)
+    ra = batched_beam_search(lambda i: pj[i], aj, qj, jnp.asarray(seeds),
+                             tie_bits=bits, **kw)
+    rb = batched_beam_search(lambda i: p2j[i], a2j, qj,
+                             jnp.asarray(e[seeds]), tie_bits=0, **kw)
+    ia, ib = np.asarray(ra.ids), np.asarray(rb.ids)
+    ib_orig = np.where(ib != ID_INF, bitrev_np(np.clip(ib, 0, cap - 1)), ib)
+    np.testing.assert_array_equal(np.asarray(ra.dists), np.asarray(rb.dists))
+    np.testing.assert_array_equal(ia, ib_orig)
+    np.testing.assert_array_equal(np.asarray(ra.visited),
+                                  np.asarray(rb.visited))
+    np.testing.assert_array_equal(np.asarray(ra.steps), np.asarray(rb.steps))

@@ -8,6 +8,7 @@ flat-vs-hierarchical finding) — is load-bearing and pinned here.
 """
 
 import numpy as np
+import pytest
 
 from hnsw_itu_tpu.utils.synth import WORDS, make_dataset, make_leaves, make_points
 
@@ -87,3 +88,19 @@ def test_distribution_profiles():
 
     with pytest.raises(ValueError):
         make_dataset(0, 100, 4, profile="nope")
+
+
+def test_recall_tie_tolerant():
+    from hnsw_itu_tpu.utils import recall_at_k, recall_tie_tolerant
+
+    # oracle: dists [3, 5, 5], ids [1, 2, 3]; ties at the k=3 boundary
+    gt_ids = np.array([[1, 2, 3]])
+    gt_d = np.array([[3, 5, 5]])
+    # result picked a DIFFERENT member (id 9) of the d=5 tie set
+    res_ids = np.array([[1, 2, 9]])
+    res_d = np.array([[3, 5, 5]])
+    assert recall_at_k(res_ids, gt_ids, 3) == pytest.approx(2 / 3)
+    assert recall_tie_tolerant(res_d, gt_d, 3) == 1.0
+    # a genuinely worse neighbor (d=6) is a miss in both metrics
+    res_d2 = np.array([[3, 5, 6]])
+    assert recall_tie_tolerant(res_d2, gt_d, 3) == pytest.approx(2 / 3)
