@@ -56,6 +56,17 @@ def main():
     print(f"# data generated (profile={profile}) at "
           f"{time.perf_counter()-t_start:.0f}s", file=sys.stderr, flush=True)
 
+    # BENCH_SETTLE: seconds to wait before first device contact. The
+    # backend frees a just-exited process's HBM asynchronously; a new
+    # process that connects within ~90s of a previous one exiting can
+    # ResourceExhaust during its build (observed twice, round-5 stage 5 —
+    # 1M runs whose short data-gen provides no natural settle time).
+    settle = float(os.environ.get("BENCH_SETTLE", 0))
+    if settle:
+        print(f"# settling {settle:.0f}s before device contact",
+              file=sys.stderr, flush=True)
+        time.sleep(settle)
+
     # device session warm-up (see bench.py)
     from hnsw_itu_tpu.utils.tunnel import contact_watchdog
 
