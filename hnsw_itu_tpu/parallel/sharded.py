@@ -369,10 +369,11 @@ def sharded_build_steps_scanned(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh"),
+    static_argnames=("k", "ef", "metric_name", "expand", "max_steps", "mesh",
+                     "tie_bits"),
 )
 def _query_sharded_step(points, adj, ep, qs, *, k, ef, metric_name, expand,
-                        max_steps, mesh):
+                        max_steps, mesh, tie_bits=0):
     metric = get_metric(metric_name)
 
     def step(points_r, adj_r, ep_r, q):
@@ -387,6 +388,7 @@ def _query_sharded_step(points, adj, ep, qs, *, k, ef, metric_name, expand,
             capacity=adj_r.shape[0],
             expand=expand,
             max_steps=max_steps,
+            tie_bits=tie_bits,
         )
         return res.dists[:, :k], res.ids[:, :k]
 
@@ -677,11 +679,11 @@ class ShardedHNSW(ShardedNSW):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric_name", "expand", "max_steps",
-                     "n_levels", "entry_sample", "dedup", "mesh"),
+                     "n_levels", "entry_sample", "dedup", "mesh", "tie_bits"),
 )
 def _query_sharded_step_hnsw(points, levels, base_adj, ep, n, qs, *, k, ef,
                              metric_name, expand, max_steps, n_levels,
-                             entry_sample, dedup, mesh):
+                             entry_sample, dedup, mesh, tie_bits=0):
     """Query-sharded HNSW: the full hierarchy (points, level arrays, base
     adjacency) is replicated to every device and the query batch is split —
     each device runs the SAME descent + base beam the single-chip
@@ -713,6 +715,7 @@ def _query_sharded_step_hnsw(points, levels, base_adj, ep, n, qs, *, k, ef,
             expand=expand,
             max_steps=max_steps,
             dedup=dedup,
+            tie_bits=tie_bits,
         )
         return res.dists[:, :k], res.ids[:, :k]
 
@@ -776,6 +779,7 @@ def knns_query_sharded(index, queries, k: int, ef: int,
             entry_sample=index.query_entry_sample,
             dedup=index.query_dedup,
             mesh=mesh,
+            tie_bits=index._tie_bits(),
         )
         return KnnResult(d[:nq], _map_back(index, i[:nq]))
     d, i = _query_sharded_step(
@@ -789,6 +793,7 @@ def knns_query_sharded(index, queries, k: int, ef: int,
         expand=index.query_expand,
         max_steps=index._steps_cap(ef),
         mesh=mesh,
+        tie_bits=index._tie_bits(),
     )
     return KnnResult(d[:nq], _map_back(index, i[:nq]))
 
