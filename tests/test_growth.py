@@ -69,12 +69,13 @@ def test_hnsw_grows_past_initial_size():
     pts = rng.integers(0, 2**32, size=(n, 32), dtype=np.uint32)
     b = HNSWBuilder(
         IndexOptions(host_warmup=0, ef_construction=32, connections=8,
-                     max_connections=16, size=100, batch_size=32),
+                     max_connections=16, size=130, batch_size=32),
         metric="hamming",
     )
     b.extend_batched(pts)
     assert b.n == n
-    assert b.opts.size >= n
+    assert b.opts.size >= n  # one doubling (130 -> 260); each growth
+    # recompiles every chunk program, which dominates this test's cost
     idx = b.build()
     assert idx.size() == n
 

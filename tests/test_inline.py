@@ -54,7 +54,7 @@ def test_truncated_inline_build(monkeypatch):
     from hnsw_itu_tpu.utils import recall_at_k
 
     rng = np.random.default_rng(8)
-    n, nq, k = 3000, 64, 10
+    n, nq, k = 1500, 64, 10
     centers = rng.integers(0, 2**32, size=(24, 32), dtype=np.uint32)
 
     def clustered(m):
@@ -68,7 +68,7 @@ def test_truncated_inline_build(monkeypatch):
 
     # budget forces mw = floor(budget / (n*W*4)) = 4 of 32 words
     monkeypatch.setenv(
-        "HNSW_TPU_INLINE_BUILD_BYTES", str(3000 * 24 * 4 * 4)
+        "HNSW_TPU_INLINE_BUILD_BYTES", str(1500 * 24 * 4 * 4)
     )
     bt = NSWBuilder(IndexOptions(**opts), metric="hamming")
     bt.extend_batched(pts)
