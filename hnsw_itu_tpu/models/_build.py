@@ -441,6 +441,105 @@ def chunk_step(
     return points, graph, adj_pts, spill, dropped
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "efc", "m", "metric_name", "expand", "max_steps",
+        "entry_sample", "use_entry", "do_write", "inline_words",
+    ),
+    donate_argnums=(0,),
+)
+def chunk_search(
+    points,
+    node_map,
+    adj,
+    adj_pts,
+    chunk,
+    n0,
+    ep,
+    n_valid,
+    *,
+    S: int,
+    efc: int,
+    m: int,
+    metric_name: str,
+    expand: int = 1,
+    max_steps: int = 2048,
+    entry_sample: int = 0,
+    use_entry: bool = False,
+    do_write: bool = True,
+    inline_words: int = 0,
+):
+    """The SEARCH half of ``chunk_step`` as its own program (point write +
+    entry block + every search window), for the split-dispatch build mode
+    (``chunk_step_split``). Returns (points, sel int32[cp, m])."""
+    metric = get_metric(metric_name)
+    if do_write:
+        points = write_points(points, chunk, n0)
+    cp = chunk.shape[0]
+    if use_entry:
+        eps_full = sampled_entry(
+            points, chunk, n0, sample_size=entry_sample, metric=metric
+        )
+    else:
+        eps_full = jnp.broadcast_to(
+            jnp.asarray(ep, jnp.int32).reshape(-1), (cp,)
+        )
+
+    def real_win(s):
+        qs = jax.lax.dynamic_slice_in_dim(chunk, s, S, axis=0)
+        eps = jax.lax.dynamic_slice_in_dim(eps_full, s, S, axis=0)
+        valid = (s + jnp.arange(S, dtype=jnp.int32)) < n_valid
+        sel_ids, _ = search_select(
+            points, node_map, adj, qs, valid, eps, adj_pts,
+            efc=efc, m=m, metric_name=metric_name, expand=expand,
+            max_steps=max_steps, inline_words=inline_words,
+        )
+        return sel_ids
+
+    def win(i):
+        s = i * S
+        return jax.lax.cond(
+            s < n_valid, real_win,
+            lambda _: jnp.full((S, m), -1, jnp.int32), s,
+        )
+
+    K = cp // S
+    if K <= 1:
+        sel = real_win(jnp.int32(0))
+    else:
+        sel = jax.lax.map(win, jnp.arange(K, dtype=jnp.int32))
+        sel = sel.reshape(cp, -1)
+    return points, sel
+
+
+def chunk_step_split(
+    points, node_map, graph, adj_pts, spill, chunk, new_ids, n0, ep,
+    n_valid, *, S, efc, m, metric_name, expand=1, max_steps=2048,
+    prune_budget=256, entry_sample=0, use_entry=False, do_write=True,
+    inline_words=0,
+):
+    """``chunk_step`` as TWO dispatches (search, then mutation). Same
+    results and the same per-buffer donation (points in the search
+    program; graph/adj_pts/spill in apply_inserts). Exists because the
+    FUSED program at the largest shapes (W=64 adjacency at 10.12M
+    capacity) reproducibly kills the backend's compile helper
+    (benches/RESULTS.md round 4/5) — each half compiles at roughly half
+    the program size. Enable with HNSW_TPU_SPLIT_CHUNK=1."""
+    points, sel = chunk_search(
+        points, node_map, graph.adj, adj_pts, chunk, n0, ep, n_valid,
+        S=S, efc=efc, m=m, metric_name=metric_name, expand=expand,
+        max_steps=max_steps, entry_sample=entry_sample,
+        use_entry=use_entry, do_write=do_write, inline_words=inline_words,
+    )
+    graph, adj_pts, spill, dropped = apply_inserts(
+        points, node_map, graph, new_ids, sel, adj_pts, spill,
+        metric_name=metric_name, prune_budget=prune_budget,
+        inline_words=inline_words,
+    )
+    return points, graph, adj_pts, spill, dropped
+
+
 def _scanned_body(
     do_write: bool,
     node_map,

@@ -1067,8 +1067,14 @@ class HNSWBuilder:
         # population bound for sampled entry = rows before this chunk
         n_before = int(new_ids[0]) if n_valid > 0 else 0
         use_entry = eps_j is None
+        # HNSW_TPU_SPLIT_CHUNK=1: two dispatches (search, mutation) so no
+        # single compile carries the whole fused program — the W=64@10M
+        # compile-helper workaround (_build.chunk_step_split)
+        step_fn = (_build.chunk_step_split
+                   if os.environ.get("HNSW_TPU_SPLIT_CHUNK") == "1"
+                   else _build.chunk_step)
         (self.points, self.base, self.adj_pts, self.spill,
-         dropped) = _build.chunk_step(
+         dropped) = step_fn(
             self.points,
             self._node_map,
             self.base,

@@ -1093,8 +1093,11 @@ class NSWBuilder:
         use_entry = (
             self.opts.entry_sample > 0 and n0 > self.opts.entry_sample
         )
+        step_fn = (_build.chunk_step_split
+                   if os.environ.get("HNSW_TPU_SPLIT_CHUNK") == "1"
+                   else _build.chunk_step)  # see HNSWBuilder._insert_graph
         (self.points, self.graph, self.adj_pts, self.spill,
-         dropped) = _build.chunk_step(
+         dropped) = step_fn(
             self.points,
             self._node_map,
             self.graph,

@@ -97,3 +97,32 @@ def test_chunk_step_skips_padding_windows():
 def test_batch_size_pow2_rounding():
     o = IndexOptions(batch_size=100)
     assert o.batch_size == 128
+
+
+def test_split_chunk_bit_identical(monkeypatch):
+    """HNSW_TPU_SPLIT_CHUNK=1 (two dispatches: chunk_search +
+    apply_inserts) must produce bit-identical graphs to the fused
+    chunk_step — it exists only to halve the compile-helper's program
+    size at the largest shapes (W=64 @ 10.12M)."""
+    import numpy as np
+
+    from hnsw_itu_tpu.models import IndexOptions
+    from hnsw_itu_tpu.models.hnsw import HNSWBuilder
+    from hnsw_itu_tpu.models.nsw import NSWBuilder
+
+    rng = np.random.default_rng(17)
+    pts = rng.integers(0, 2**32, size=(400, 32), dtype=np.uint32)
+    opts = dict(host_warmup=0, ef_construction=24, connections=6,
+                max_connections=12, size=400, batch_size=64, scan_group=1)
+    for cls in (NSWBuilder, HNSWBuilder):
+        monkeypatch.delenv("HNSW_TPU_SPLIT_CHUNK", raising=False)
+        a = cls(IndexOptions(**opts), metric="hamming")
+        a.extend_batched(pts)
+        monkeypatch.setenv("HNSW_TPU_SPLIT_CHUNK", "1")
+        b = cls(IndexOptions(**opts), metric="hamming")
+        b.extend_batched(pts)
+        ga = a.base if hasattr(a, "base") else a.graph
+        gb = b.base if hasattr(b, "base") else b.graph
+        np.testing.assert_array_equal(np.asarray(ga.adj), np.asarray(gb.adj))
+        np.testing.assert_array_equal(np.asarray(ga.deg), np.asarray(gb.deg))
+        np.testing.assert_array_equal(np.asarray(a.spill), np.asarray(b.spill))
