@@ -25,9 +25,9 @@ if [ "$STOP_BY" -gt 0 ]; then
 fi
 echo "# stage 4b: W=64 A/B, split-dispatch build ($(date -u)), budget ${budget}s"
 HNSW_TPU_SPLIT_CHUNK=1 HNSW_TPU_SCAN_GROUP=1 BENCH_W=64 \
-BENCH_CKPT_TAG=w64 BENCH_KEEP_CKPT=0 BENCH_EXACT_ATTRIB=1 \
+BENCH_CKPT_TAG=w64 BENCH_KEEP_CKPT=0 BENCH_EXACT_ATTRIB=0 \
 BENCH_SETTLE=120 BENCH_OUT=results_10m_w64.json \
-BENCH_PLAN="64:10:65536::1;64:8:65536::1;96:8:65536:256:1;64:0:65536::1" \
+BENCH_PLAN="64:10:65536::1;64:8:65536::1;96:8:65536:256:1" \
 timeout "$budget" python benches/run_10m.py $N > /tmp/q_r5_s4b.log 2>&1
 echo "# stage 4b rc=$?"
 echo "# queue F done ($(date -u))"
