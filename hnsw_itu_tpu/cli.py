@@ -251,16 +251,25 @@ def _pad_short_results(ids, dists, k):
     return ids, dists
 
 
-def write_result(path, dists, ids, k, sort, attrs: ResultAttrs):
+def write_result(path, dists, ids, k, sort, attrs: ResultAttrs,
+                 write_dists: bool = False):
     """write_result parity (main.rs:262-309): knns dataset of 1-based u64
-    ids + file attrs."""
+    ids + file attrs. ``write_dists`` additionally stores the true
+    distances as a ``dists`` dataset (no reference analogue in the query
+    commands; ground-truth files always carry one, main.rs:733-750) —
+    this is what ``evaluate --tie-tolerant`` consumes."""
     log.info("Writing result to %s sort=%s", path, sort)
     ids, dists = _pad_short_results(ids, dists, k)
     if sort:
         order = np.lexsort((ids, dists), axis=-1)
         ids = np.take_along_axis(ids, order, axis=-1)
+        dists = np.take_along_axis(np.asarray(dists), order, axis=-1)
     out = BufferedDataset.create(path, (ids.shape[0], k), "knns")
     out.write_rows(ids.astype(np.uint64) + 1, 0)
+    if write_dists:
+        with_d = BufferedDataset.with_file(
+            out.file, (ids.shape[0], k), "dists")
+        with_d.write_rows(np.asarray(dists).astype(np.uint64), 0)
     size = format_size_string(attrs.size) if attrs.format_size else str(attrs.size)
     log.info("Writing result attributes data=%s size=%s algo=%s buildtime=%s "
              "querytime=%s params=%s", attrs.data, size, attrs.algo,
@@ -293,7 +302,8 @@ def cmd_query(a):
         save_index(a.indexfile, idx, attrs)
     dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
                              a.single_threaded, query_hop=a.query_hop)
-    write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
+    write_result(a.outfile, dists, ids, a.k, a.sort, attrs,
+                 write_dists=a.write_dists)
 
 
 def cmd_index(a):
@@ -310,7 +320,8 @@ def cmd_query_index(a):
     log.info("Read index size=%d", idx.size())
     dists, ids = query_index(a.queryfile, idx, attrs, a.k, a.ef,
                              a.single_threaded, query_hop=a.query_hop)
-    write_result(a.outfile, dists, ids, a.k, a.sort, attrs)
+    write_result(a.outfile, dists, ids, a.k, a.sort, attrs,
+                 write_dists=a.write_dists)
 
 
 def cmd_ground_truth(a):
@@ -404,6 +415,16 @@ def cmd_inspect(a):
 def cmd_evaluate(a):
     rec = recall_files(a.result, a.truth, a.k)
     print(f"recall@{a.k or 'k'}: {rec:.5f}")
+    if getattr(a, "tie_tolerant", False):
+        from .utils.evalrecall import recall_tie_tolerant
+
+        with BufferedDataset.open(a.result, "dists") as r:
+            rd = r.read_all()
+        with BufferedDataset.open(a.truth, "dists") as t:
+            td = t.read_all()
+        k = a.k or rd.shape[1]
+        tt = recall_tie_tolerant(rd, td[:, : rd.shape[1]], k)
+        print(f"tie-tolerant recall@{k}: {tt:.5f}")
 
 
 # -- parser ------------------------------------------------------------------
@@ -446,6 +467,10 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("-e", "--ef", type=int, default=96)
     common_build(q)
     q.add_argument("-s", "--sort", action="store_true")
+    q.add_argument("--write-dists", action="store_true",
+                   help="also store true distances as a 'dists' dataset "
+                        "(enables evaluate --tie-tolerant; no reference "
+                        "analogue)")
     q.add_argument("--query-hop", type=int, default=0,
                    help="one-hop exact rerank seeds (mini-table path)")
     q.set_defaults(fn=cmd_query)
@@ -465,6 +490,8 @@ def make_parser() -> argparse.ArgumentParser:
     qi.add_argument("-k", type=int, default=10)
     qi.add_argument("-e", "--ef", type=int, default=96)
     qi.add_argument("-s", "--sort", action="store_true")
+    qi.add_argument("--write-dists", action="store_true",
+                    help="also store true distances as a 'dists' dataset")
     qi.add_argument("-S", "--single-threaded", action="store_true")
     qi.add_argument("--query-hop", type=int, default=0,
                     help="one-hop exact rerank seeds (mini-table path)")
@@ -491,6 +518,11 @@ def make_parser() -> argparse.ArgumentParser:
     ev.add_argument("result")
     ev.add_argument("truth")
     ev.add_argument("-k", type=int, default=None)
+    ev.add_argument("--tie-tolerant", action="store_true",
+                    help="also report distance-threshold recall (immune "
+                         "to k-boundary tie-break mismatch; needs dists "
+                         "datasets in both files — write the result with "
+                         "--write-dists)")
     ev.set_defaults(fn=cmd_evaluate)
     return p
 

@@ -111,6 +111,23 @@ def test_cli_query_groundtruth_evaluate(data, capsys):
     assert rc == 0
     assert "recall@5" in capsys.readouterr().out
 
+    # --write-dists + --tie-tolerant: the distance-threshold metric reads
+    # the result's own 'dists' dataset (>= id-set recall by construction)
+    res2 = tmp / "result_d.h5"
+    rc = main(["-q", "query", "-d", str(d), "-Q", str(q), "-o", str(res2),
+               "-k", "5", "-e", "32", "-c", "32", "-m", "8", "-M", "16",
+               "--sort", "--write-dists"])
+    assert rc == 0
+    with h5py.File(res2) as f:
+        assert f["dists"].shape == (20, 5)
+    rc = main(["evaluate", str(res2), str(gt), "-k", "5", "--tie-tolerant"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tie-tolerant recall@5" in out
+    rec_id = float(out.split("recall@5:")[1].split()[0])
+    rec_tt = float(out.split("tie-tolerant recall@5:")[1].split()[0])
+    assert rec_tt >= rec_id >= 0.8
+
 
 def test_cli_index_query_index_inspect(data, capsys):
     d, q, tmp = data
